@@ -1,0 +1,335 @@
+"""Sequential Weighted EM memory core — pure functional, TPU-first.
+
+Re-implements the SWEM algorithm semantics of
+/root/reference/methods/SWEM/modules.py:63-306 as pure JAX functions with
+static shapes:
+
+* ``init_bases``       — random prototype init   (modules.py:170-178)
+* ``em_update``        — the W/E/M loop           (modules.py:93-168)
+* ``read_memory``      — affinity read + top-l permutation-invariant
+                         feature                  (modules.py:198-293)
+* ``VOSMemory``        — the two-bank (first/update) memory state
+                         (modules.py:29-60,183-193) expressed as a fixed-shape
+                         pytree carried through ``lax.scan``.
+
+Design notes (TPU):
+- All shapes are static: ``(B, N, 2, C, L)`` with ``N`` the *maximum* object
+  count. Inactive object slots carry all-zero masks, which makes every EM
+  update an exact no-op for them (z == 0 keeps kappa/nu/zita unchanged), so
+  padding reproduces the reference's dynamic-concat semantics exactly.
+- Stop-gradient placement matches the reference's ``@torch.no_grad``
+  boundaries: the E/M/W iteration (kappa, zita, z) is non-differentiable;
+  only the final value-prototype update ``nu`` carries gradients (through the
+  value features v and the previous nu).
+- Pixel dim P = H/16 * W/16 sits in the contraction-friendly position for the
+  MXU; everything is expressed as einsums XLA tiles onto the 128x128 MXU.
+- The fixed-size carry {kappa, nu, zita} is the sequence-length-scaling story:
+  O(1) memory in video length (SURVEY.md §5 long-context).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# EM statistics are precision-sensitive (tau=0.05 exponentials amplify matmul
+# error), so all EM einsums request full-precision MXU passes. The cost is
+# negligible next to the conv towers.
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+@struct.dataclass
+class Bases:
+    """EM sufficient statistics for one memory bank.
+
+    kappa: (B, N, 2, Ck, L) key prototypes  (branch dim 2 = [bg, fg])
+    nu:    (B, N, 2, Cv, L) value prototypes
+    zita:  (B, N, 2, 1,  L) accumulated responsibility mass
+    """
+
+    kappa: jnp.ndarray
+    nu: jnp.ndarray
+    zita: jnp.ndarray
+
+
+@struct.dataclass
+class VOSMemory:
+    """Two-bank prototype memory (modules.py:74-76,183-193).
+
+    ``first`` holds each object's bases frozen at its activation frame
+    (mode='fixed'); ``update`` holds the latest frame's bases. ``obj_seen``
+    marks object slots that have been initialized with a real mask;
+    ``mem_count`` counts memorize calls (the update bank participates in
+    reads only once mem_count >= 2, reproducing the reference's "update bank
+    is None until the second memorize" behavior).
+    """
+
+    first: Bases
+    update: Bases
+    obj_seen: jnp.ndarray  # (B, N) bool
+    mem_count: jnp.ndarray  # () int32
+
+
+def l2norm(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """L2-normalize with the reference's +1e-6 denominator (modules.py:7-9)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True) + 1e-6
+    return x / norm
+
+
+def init_bases(
+    rng: jax.Array,
+    batch: int,
+    n_objs: int,
+    key_dim: int,
+    val_dim: int,
+    n_bases: int,
+    dtype=jnp.float32,
+) -> Bases:
+    """Random prototype initialization (modules.py:170-178).
+
+    kappa ~ N(0, sqrt(2/L)), l2-normalized over the channel dim; nu zeros;
+    zita = 1e-6.
+    """
+    kappa = jax.random.normal(rng, (batch, n_objs, 2, key_dim, n_bases), dtype)
+    kappa = kappa * math.sqrt(2.0 / n_bases)
+    kappa = l2norm(kappa, axis=-2)
+    nu = jnp.zeros((batch, n_objs, 2, val_dim, n_bases), dtype)
+    zita = jnp.full((batch, n_objs, 2, 1, n_bases), 1e-6, dtype)
+    return Bases(kappa=kappa, nu=nu, zita=zita)
+
+
+def fresh_memory(
+    rng: jax.Array,
+    batch: int,
+    n_objs: int,
+    key_dim: int,
+    val_dim: int,
+    n_bases: int,
+    dtype=jnp.float32,
+) -> VOSMemory:
+    """Empty memory: both banks random-initialized, nothing seen.
+
+    Because EM is a no-op for zero-mask slots, pre-initializing every object
+    slot here reproduces the reference's lazy per-object ``random_init`` at
+    the activation frame (modules.py:140-146).
+    """
+    bases = init_bases(rng, batch, n_objs, key_dim, val_dim, n_bases, dtype)
+    return VOSMemory(
+        first=bases,
+        update=bases,
+        obj_seen=jnp.zeros((batch, n_objs), bool),
+        mem_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _e_step(x: jnp.ndarray, kappa: jnp.ndarray, weights: jnp.ndarray, tau: float):
+    """E step (modules.py:112-120): responsibilities z, weighted.
+
+    x: (B, P, Ck); kappa: (B, N, 2, Ck, L); weights: (B, N, 2, P)
+    returns z: (B, N, 2, P, L)
+    """
+    kn = l2norm(kappa, axis=-2)
+    z = _einsum("bpc,bnscl->bnspl", x, kn)
+    z = jax.nn.softmax(z / tau, axis=-1)
+    return z * weights[..., None]
+
+
+def _m_step(z, x, kappa0, zita0):
+    """M step (modules.py:122-127): running weighted mean from frame-carry stats.
+
+    z: (B,N,2,P,L); x: (B,P,Ck) -> kappa (B,N,2,Ck,L), zita (B,N,2,1,L)
+    """
+    # zita accumulates responsibility mass per base: sum over pixels.
+    zita = zita0 + jnp.sum(z, axis=-2)[:, :, :, None, :]
+    kappa = (
+        zita0 * kappa0
+        + _einsum("bpc,bnspl->bnscl", x, z)
+    ) / zita
+    return kappa, zita
+
+
+def _w_step(xn, kappa, masks, tau):
+    """W step (modules.py:93-110): pixel weights = mask * (1 - branch prob).
+
+    xn: l2-normalized x (B, P, Ck); kappa: (B,N,2,Ck,L); masks: (B,N,2,P)
+    """
+    kn = l2norm(kappa, axis=-2)
+    z = _einsum("bpc,bnscl->bnspl", xn, kn)
+    maxes = jnp.max(z, axis=-1, keepdims=True)  # over L
+    maxes = jnp.max(maxes, axis=2, keepdims=True)  # over {bg, fg}
+    z_exp = jnp.exp((z - maxes) / tau)
+    sum_exp = jnp.sum(z_exp, axis=-1)  # (B, N, 2, P)
+    props = sum_exp / jnp.sum(sum_exp, axis=2, keepdims=True)
+    return masks * (1.0 - props)
+
+
+def em_update(
+    x: jnp.ndarray,
+    v: jnp.ndarray,
+    masks: jnp.ndarray,
+    bases0: Bases,
+    *,
+    n_iters: int,
+    tau: float,
+) -> Bases:
+    """One frame's Sequential Weighted EM update (modules.py:129-168).
+
+    x:     (B, P, Ck)    query key features (P = H/16 * W/16, channel-last)
+    v:     (B, N, P, Cv) value features per object
+    masks: (B, N, 2, P)  [bg, fg] pixel weights per object
+    bases0: warm-start statistics from the previous frame.
+
+    The E/M/W loop is a fixed trip-count Python loop (n_iters is static) so
+    XLA fully unrolls and fuses it. The whole loop runs under stop_gradient
+    (matching @torch.no_grad on swe/swm/sww); only the final nu update is
+    differentiable, through v and bases0.nu.
+    """
+
+    def _loop(x, masks, kappa0, zita0):
+        xn = l2norm(x, axis=-1)
+        weights = masks
+        kappa = kappa0
+        z = None
+        for i in range(n_iters):
+            z = _e_step(x, kappa, weights, tau)
+            kappa, zita = _m_step(z, x, kappa0, zita0)
+            if i < n_iters - 1:
+                weights = _w_step(xn, kappa, masks, tau)
+        return z, kappa, zita
+
+    z, kappa, zita = jax.lax.stop_gradient(
+        _loop(x, masks, bases0.kappa, bases0.zita)
+    )
+    zita0 = jax.lax.stop_gradient(bases0.zita)
+    nu = (
+        zita0 * bases0.nu
+        + _einsum("bnpv,bnspl->bnsvl", v, z)
+    ) / zita
+    return Bases(kappa=kappa, nu=nu, zita=zita)
+
+
+def memory_write(mem: VOSMemory, bases: Bases, active: jnp.ndarray) -> VOSMemory:
+    """Commit a frame's EM result to the two banks (modules.py:183-193).
+
+    ``update`` is replaced wholesale; ``first`` keeps each object's bases
+    frozen from its activation frame (fixed mode / MemoryBank.add_new,
+    modules.py:44-60), expressed here as a per-object select on newly-seen
+    slots. ``active``: (B, N) bool — object slots with an init mask provided
+    at or before this frame.
+    """
+    newly = jnp.logical_and(active, jnp.logical_not(mem.obj_seen))
+    sel = newly[:, :, None, None, None]
+    first = Bases(
+        kappa=jnp.where(sel, bases.kappa, mem.first.kappa),
+        nu=jnp.where(sel, bases.nu, mem.first.nu),
+        zita=jnp.where(sel, bases.zita, mem.first.zita),
+    )
+    return VOSMemory(
+        first=first,
+        update=bases,
+        obj_seen=jnp.logical_or(mem.obj_seen, active),
+        mem_count=mem.mem_count + 1,
+    )
+
+
+def memorize(
+    mem: VOSMemory,
+    x: jnp.ndarray,
+    v: jnp.ndarray,
+    masks: jnp.ndarray,
+    active: jnp.ndarray,
+    *,
+    n_iters: int,
+    tau: float,
+) -> VOSMemory:
+    """EM-update from the latest bank and commit (modules.py:183-193).
+
+    The warm start is always the ``update`` bank: after the first memorize it
+    equals ``first`` (the reference warm-starts from ``first`` only while
+    ``update`` is None, and they coincide at that point).
+    """
+    bases = em_update(x, v, masks, mem.update, n_iters=n_iters, tau=tau)
+    return memory_write(mem, bases, active)
+
+
+def gather_memory(mem: VOSMemory) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Concatenate both banks along L (modules.py:295-306) + validity mask.
+
+    Returns (mk, mv, base_valid):
+      mk: (B, N, 2, Ck, 2L), mv: (B, N, 2, Cv, 2L), base_valid: (B, N, 2, 2L)
+
+    The first half is valid once the object has been seen; the second half
+    additionally requires mem_count >= 2 (the reference's update bank does
+    not exist until the second memorize call). Masked bases are excluded
+    from the affinity softmax and top-l feature in ``read_memory``, exactly
+    reproducing the reference's L-vs-2L dynamic width with static shapes.
+    """
+    mk = jnp.concatenate([mem.first.kappa, mem.update.kappa], axis=-1)
+    mv = jnp.concatenate([mem.first.nu, mem.update.nu], axis=-1)
+    L = mem.first.kappa.shape[-1]
+    seen = mem.obj_seen[:, :, None, None]  # (B, N, 1, 1)
+    first_valid = jnp.broadcast_to(seen, seen.shape[:2] + (2, L))
+    upd_valid = jnp.logical_and(first_valid, mem.mem_count >= 2)
+    base_valid = jnp.concatenate([first_valid, upd_valid], axis=-1)
+    return mk, mv, base_valid
+
+
+def _perm_inv_feat(exp_aff: jnp.ndarray, topl: int) -> jnp.ndarray:
+    """Permutation-invariant top-l affinity feature (modules.py:198-208).
+
+    exp_aff: (B, N, 2, Lm, P) non-negative; returns S: (B, N, P, 2*topl)
+    with channel order [bg_ratio_0..k-1, (1-bg_ratio)_0..k-1].
+    """
+    # top-l over the base dim, per branch, per pixel
+    top = jax.lax.top_k(jnp.swapaxes(exp_aff, -1, -2), topl)[0]  # (B,N,2,P,topl)
+    feat = jnp.cumsum(top, axis=-1)
+    bg, fg = feat[:, :, 0], feat[:, :, 1]  # branch 0 = bg (swem.py:80-84)
+    ratio = bg / (bg + fg + 1e-30)  # (B, N, P, topl)
+    return jnp.concatenate([ratio, 1.0 - ratio], axis=-1)
+
+
+def read_memory(
+    qk: jnp.ndarray,
+    mk: jnp.ndarray,
+    mv: jnp.ndarray,
+    base_valid: jnp.ndarray,
+    *,
+    tau: float,
+    topl: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Attention-style memory read (modules.py:232-293, default path).
+
+    qk: (B, P, Ck) raw query keys (l2-normalized here, modules.py:282)
+    mk: (B, N, 2, Ck, Lm) raw prototypes (l2-normalized here)
+    mv: (B, N, 2, Cv, Lm)
+    base_valid: (B, N, 2, Lm) bool
+
+    Returns (mem_out, S): mem_out (B, N, P, Cv) value read;
+    S (B, N, P, 2*topl) permutation-invariant feature.
+
+    The affinity softmax is normalized jointly over the {bg,fg} x Lm base
+    axes per object (modules.py:265-266); invalid bases are masked out of
+    both the softmax and the top-l feature.
+    """
+    qk = l2norm(qk, axis=-1)
+    mk = l2norm(mk, axis=-2)
+    aff = _einsum("bnscl,bpc->bnslp", mk, qk)
+    neg = jnp.asarray(-jnp.inf, aff.dtype)
+    aff = jnp.where(base_valid[..., None], aff, neg)
+    maxes = jnp.max(aff, axis=(2, 3), keepdims=True)  # joint over {bg,fg} x Lm
+    # exp(-inf - max) underflows to exactly 0 for masked bases; the extra
+    # where guards the all-invalid case (max = -inf -> nan).
+    exp_aff = jnp.where(
+        base_valid[..., None], jnp.exp((aff - maxes) / tau), 0.0
+    )
+    denom = jnp.sum(exp_aff, axis=(2, 3), keepdims=True)
+    p_aff = exp_aff / (denom + 1e-30)
+    mem_out = _einsum(
+        "bnsvl,bnslp->bnpv", mv, p_aff)
+    S = _perm_inv_feat(exp_aff, topl)
+    return mem_out, S
