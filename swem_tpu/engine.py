@@ -1,0 +1,166 @@
+"""Frame-sequential inference engine.
+
+Functional re-design of the reference's evaluator inner loops
+(/root/reference/methods/SWEM/swem_evaluator.py:59-148): the EM memory is an
+explicit ``VOSMemory`` carried either through per-frame jitted steps (used by
+the evaluator, which interleaves host-side PNG output and YouTube-VOS object
+injection) or through a whole-video ``lax.scan`` (used for benchmarking and
+the DAVIS fast path — the entire video runs on-device in one XLA program).
+
+Static-shape strategy: the object axis is padded to ``max_objs``; per-frame
+``active`` flags select live slots. Mid-video object injection
+(swem_evaluator.py:124-130) becomes a channel-select on the padded mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from swem_tpu.config import ModelConfig
+from swem_tpu.models import em
+from swem_tpu.models.swem import (
+    SWEM,
+    hard_mask_from_pred,
+    prepare_em_masks,
+)
+from swem_tpu.ops.resize import resize
+
+
+def _flat_qk(qk16):
+    B, h, w, Ck = qk16.shape
+    return qk16.reshape(B, h * w, Ck).astype(jnp.float32)
+
+
+def _flat_mv(mv16):
+    B, N, h, w, Cv = mv16.shape
+    return mv16.reshape(B, N, h * w, Cv).astype(jnp.float32)
+
+
+def init_memory(
+    model: SWEM,
+    variables,
+    rng: jax.Array,
+    frame0: jnp.ndarray,
+    init_mask: jnp.ndarray,
+    active: jnp.ndarray,
+) -> em.VOSMemory:
+    """Frame-0 memory initialization (swem_evaluator.py:65-69, swem.py:64-67).
+
+    frame0: (B, H, W, 3) at inference size; init_mask: (B, Ho, Wo, N+1) hard
+    one-hot at output size (memorize interpolates it to 1/16 itself);
+    active: (B, N) live-object flags.
+    """
+    cfg = model.cfg
+    qk16, _, s16, _, _ = model.apply(variables, frame0, method="encode_key")
+    in_size = frame0.shape[1:3]
+    init_mask_in = resize(init_mask.astype(jnp.float32), in_size, "nearest")
+    mv16 = model.apply(variables, frame0, init_mask_in, s16, method="encode_value")
+    B, h, w, _ = qk16.shape
+    mem = em.fresh_memory(
+        rng, B, cfg.max_objs, cfg.keydim, cfg.valdim, cfg.num_bases
+    )
+    em_masks = prepare_em_masks(init_mask, init_mask.astype(jnp.float32), (h, w))
+    return em.memorize(
+        mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
+        n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+    )
+
+
+def step(
+    model: SWEM,
+    variables,
+    mem: em.VOSMemory,
+    frame: jnp.ndarray,
+    active: jnp.ndarray,
+    out_size: Tuple[int, int],
+    *,
+    do_memorize: bool = True,
+    inject_mask: Optional[jnp.ndarray] = None,
+    inject_new: Optional[jnp.ndarray] = None,
+):
+    """One inference frame (swem_evaluator.py:72-101).
+
+    frame: (B, H, W, 3); active: (B, N) slots live *before* this frame;
+    inject_mask/(B,Ho,Wo,N+1) + inject_new/(B,N): ground-truth masks for
+    objects appearing at this frame (YTVOS, swem_evaluator.py:124-130).
+
+    Returns (mem, pred_idx (B,Ho,Wo) int32, pred_mask (B,Ho,Wo,N+1)).
+    """
+    cfg = model.cfg
+    qk16, qv16, s16, s8, s4 = model.apply(variables, frame, method="encode_key")
+    context = model.apply(variables, qk16, qv16, mem, method="match")
+    _, pred_mask = model.apply(
+        variables, context, s8, s4, active.astype(jnp.float32), out_size,
+        method="decode",
+    )
+
+    if inject_mask is not None:
+        # zero predictions under newly-injected objects, then overwrite the
+        # new slots' channels with the provided ground truth
+        new_any = jnp.sum(inject_mask[..., 1:], axis=-1, keepdims=True) > 0
+        pred_mask = jnp.where(new_any, 0.0, pred_mask)
+        ch_sel = jnp.concatenate(
+            [jnp.zeros((inject_new.shape[0], 1), bool), inject_new], axis=-1
+        )
+        pred_mask = jnp.where(ch_sel[:, None, None, :], inject_mask, pred_mask)
+        active = jnp.logical_or(active, inject_new)
+
+    pred_idx = jnp.argmax(pred_mask, axis=-1).astype(jnp.int32)
+
+    if do_memorize:
+        hard = hard_mask_from_pred(pred_mask)
+        in_size = frame.shape[1:3]
+        soft_in = resize(pred_mask, in_size, "bilinear")
+        mv16 = model.apply(variables, frame, soft_in, s16, method="encode_value")
+        h, w = qk16.shape[1:3]
+        em_masks = prepare_em_masks(hard, soft_in, (h, w))
+        mem = em.memorize(
+            mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
+            n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+        )
+
+    return mem, pred_idx, pred_mask
+
+
+def run_video(
+    model: SWEM,
+    variables,
+    rng: jax.Array,
+    frames: jnp.ndarray,
+    init_mask: jnp.ndarray,
+    active: jnp.ndarray,
+    out_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Whole-video inference as one on-device ``lax.scan``.
+
+    frames: (T, B, H, W, 3); init_mask: (B, Ho, Wo, N+1); active: (B, N).
+    Returns pred indices (T-1, B, Ho, Wo) int32 for frames 1..T-1.
+
+    Unlike the per-frame path, every frame (including the last) is memorized;
+    the reference skips the final memorize purely as a speed optimization
+    (swem_evaluator.py:90-93) — predictions are identical.
+    """
+    mem0 = init_memory(model, variables, rng, frames[0], init_mask, active)
+
+    def body(mem, frame):
+        mem, pred_idx, _ = step(
+            model, variables, mem, frame, active, out_size, do_memorize=True
+        )
+        return mem, pred_idx
+
+    _, preds = jax.lax.scan(body, mem0, frames[1:])
+    return preds
+
+
+def make_jitted_video_runner(model: SWEM, out_size: Tuple[int, int]):
+    """jit-compiled whole-video runner (donates nothing; frames stream in)."""
+
+    @partial(jax.jit, static_argnames=())
+    def _run(variables, rng, frames, init_mask, active):
+        return run_video(model, variables, rng, frames, init_mask, active, out_size)
+
+    return _run

@@ -1,0 +1,93 @@
+"""Key / value encoders and projections.
+
+Re-designs of /root/reference/methods/basic_modules/networks.py:53-182 in
+flax (NHWC, frozen BN, bf16-capable). The broken ``model_dirs`` weight-path
+scheme of the reference (networks.py:8,140 — crashes as shipped) is replaced
+by explicit weight loading through swem_tpu.io.torch_import.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from swem_tpu.models.layers import FeatureFusionBlock, conv3x3
+from swem_tpu.models.resnet import BACKBONE_FEATURES, ResNetTrunk
+
+# ImageNet normalization (networks.py:72-73,157-158)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_image(frame: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(..., H, W, 3) RGB in [0, 1] -> ImageNet-normalized."""
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+    return (frame.astype(dtype) - mean) / std
+
+
+class KeyEncoder(nn.Module):
+    """ResNet-50/18 trunk producing (f16, f8, f4) (networks.py:132-170)."""
+
+    backbone: str = "resnet50"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frame) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        x = normalize_image(frame, self.dtype)
+        if self.backbone == "resnet50":
+            trunk = ResNetTrunk(block="bottleneck", layers=(3, 4, 6), name="trunk", dtype=self.dtype)
+        elif self.backbone == "resnet18":
+            trunk = ResNetTrunk(block="basic", layers=(2, 2, 2), name="trunk", dtype=self.dtype)
+        else:
+            raise KeyError(f"backbone {self.backbone} not supported")
+        return trunk(x)
+
+    @property
+    def num_features(self):
+        return BACKBONE_FEATURES[self.backbone]
+
+
+class ValueEncoder(nn.Module):
+    """Modified ResNet-18 value encoder + feature fusion (networks.py:56-129).
+
+    Input is the frame concatenated with the object's fg mask (and, unless
+    ``single_object``, the "other objects" mask): conv1 has 4 or 5 input
+    channels. Output fuses trunk f16 (256ch) with the key encoder's f16
+    through FeatureFusionBlock -> valdim channels.
+    """
+
+    single_object: bool = False
+    valdim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frame, key_f16, mask_fg, mask_others=None):
+        """frame (B,H,W,3); key_f16 (B,H/16,W/16,Cf); masks (B,H,W,1)."""
+        x = normalize_image(frame, self.dtype)
+        if self.single_object:
+            x = jnp.concatenate([x, mask_fg.astype(self.dtype)], axis=-1)
+        else:
+            x = jnp.concatenate(
+                [x, mask_fg.astype(self.dtype), mask_others.astype(self.dtype)], axis=-1
+            )
+        trunk = ResNetTrunk(block="basic", layers=(2, 2, 2), name="trunk", dtype=self.dtype)
+        f16, _, _ = trunk(x)
+        fuser = FeatureFusionBlock(self.valdim, name="fuser", dtype=self.dtype)
+        return fuser(f16, key_f16.astype(self.dtype))
+
+
+class KeyProjection(nn.Module):
+    """3x3 conv f16 -> keydim, orthogonal init, zero bias (networks.py:173-182)."""
+
+    keydim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv3x3(
+            self.keydim, name="key_proj", dtype=self.dtype,
+            kernel_init=nn.initializers.orthogonal(),
+        )(x)

@@ -1,0 +1,135 @@
+"""ResNet trunks (flax, NHWC) for the key/value encoders.
+
+Functional re-design of torchvision-style ResNet-50/18 through layer3
+(the reference consumes only f4/f8/f16: networks.py:132-170) plus the
+"extra input channels" variant used by the value encoder
+(/root/reference/methods/basic_modules/mod_resnet.py:14-166).
+
+BatchNorm is frozen for the whole lifecycle (see layers.FrozenBatchNorm);
+ImageNet-pretrained statistics are loaded via swem_tpu.io.torch_import.
+Module names mirror torchvision's state_dict keys to make weight conversion
+a pure renaming pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from swem_tpu.models.layers import FrozenBatchNorm, conv1x1, conv3x3
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv3x3(self.planes, self.stride, name="conv1", dtype=self.dtype)(x)
+        out = FrozenBatchNorm(self.planes, name="bn1", dtype=self.dtype)(out)
+        out = nn.relu(out)
+        out = conv3x3(self.planes, name="conv2", dtype=self.dtype)(out)
+        out = FrozenBatchNorm(self.planes, name="bn2", dtype=self.dtype)(out)
+        if self.downsample:
+            identity = conv1x1(
+                self.planes, self.stride, name="downsample_conv",
+                dtype=self.dtype, use_bias=False,
+            )(x)
+            identity = FrozenBatchNorm(self.planes, name="downsample_bn", dtype=self.dtype)(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.planes * self.expansion
+        identity = x
+        out = conv1x1(self.planes, name="conv1", dtype=self.dtype, use_bias=False)(x)
+        out = FrozenBatchNorm(self.planes, name="bn1", dtype=self.dtype)(out)
+        out = nn.relu(out)
+        out = conv3x3(self.planes, self.stride, name="conv2", dtype=self.dtype)(out)
+        out = FrozenBatchNorm(self.planes, name="bn2", dtype=self.dtype)(out)
+        out = nn.relu(out)
+        out = conv1x1(out_ch, name="conv3", dtype=self.dtype, use_bias=False)(out)
+        out = FrozenBatchNorm(out_ch, name="bn3", dtype=self.dtype)(out)
+        if self.downsample:
+            identity = conv1x1(
+                out_ch, self.stride, name="downsample_conv",
+                dtype=self.dtype, use_bias=False,
+            )(x)
+            identity = FrozenBatchNorm(out_ch, name="downsample_bn", dtype=self.dtype)(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetTrunk(nn.Module):
+    """ResNet through layer3, returning (f16, f8, f4) pyramid features.
+
+    ``in_channels`` > 3 reproduces mod_resnet's extra_chan conv1 (masks are
+    concatenated to the image by the value encoder).
+    """
+
+    block: str  # 'basic' | 'bottleneck'
+    layers: Sequence[int]  # e.g. (3, 4, 6) for r50 through layer3
+    in_channels: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        expansion = 1 if self.block == "basic" else 4
+
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, name="conv1", dtype=self.dtype,
+            kernel_init=nn.initializers.he_uniform(),
+        )(x)
+        x = FrozenBatchNorm(64, name="bn1", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, 2, padding=1): -inf padding
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        feats = []
+        planes = 64
+        for stage, n_blocks in enumerate(self.layers):
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                first = b == 0
+                needs_down = first and (stride != 1 or x.shape[-1] != planes * expansion)
+                x = block_cls(
+                    planes,
+                    stride=stride if first else 1,
+                    downsample=needs_down,
+                    name=f"layer{stage + 1}_{b}",
+                    dtype=self.dtype,
+                )(x)
+            feats.append(x)
+            planes *= 2
+
+        f4, f8, f16 = feats[0], feats[1], feats[2]
+        return f16, f8, f4
+
+
+def resnet50_trunk(dtype=jnp.float32) -> ResNetTrunk:
+    return ResNetTrunk(block="bottleneck", layers=(3, 4, 6), dtype=dtype)
+
+
+def resnet18_trunk(in_channels: int = 3, dtype=jnp.float32) -> ResNetTrunk:
+    return ResNetTrunk(block="basic", layers=(2, 2, 2), in_channels=in_channels, dtype=dtype)
+
+
+BACKBONE_FEATURES = {
+    # (f16, f8, f4) channel counts (networks.py:135-143)
+    "resnet50": (1024, 512, 256),
+    "resnet18": (256, 128, 64),
+}

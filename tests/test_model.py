@@ -1,0 +1,157 @@
+"""Shape/finiteness/jit tests for the full SWEM model and inference engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swem_tpu.config import ModelConfig
+from swem_tpu.engine import init_memory, run_video, step
+from swem_tpu.models.swem import SWEM, aggregate, hard_mask_from_pred, prepare_em_masks
+
+
+def tiny_cfg(max_objs=2, **kw):
+    return ModelConfig(
+        backbone="resnet18", keydim=16, valdim=32, num_bases=8,
+        num_em_iters=2, topl=4, max_objs=max_objs, mdim=32, **kw
+    )
+
+
+def make_video(rng, T=4, B=1, H=64, W=64, n_objs=2, n_slots=2):
+    frames = rng.random((T, B, H, W, 3)).astype(np.float32)
+    init_mask = np.zeros((B, H, W, n_slots + 1), np.float32)
+    init_mask[..., 0] = 1.0
+    for n in range(n_objs):
+        y0, x0 = 8 + 20 * n, 8 + 20 * n
+        init_mask[:, y0:y0 + 12, x0:x0 + 12, n + 1] = 1.0
+        init_mask[:, y0:y0 + 12, x0:x0 + 12, 0] = 0.0
+    active = np.zeros((B, n_slots), bool)
+    active[:, :n_objs] = True
+    return jnp.asarray(frames), jnp.asarray(init_mask), jnp.asarray(active)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = tiny_cfg()
+    model = SWEM(cfg)
+    rng = np.random.default_rng(0)
+    frames, init_mask, active = make_video(rng)
+    variables = model.init(jax.random.PRNGKey(0), frames[0], init_mask)
+    return model, variables
+
+
+class TestModules:
+    def test_init_and_forward_shapes(self, model_and_vars):
+        model, variables = model_and_vars
+        rng = np.random.default_rng(1)
+        frames, init_mask, active = make_video(rng)
+        logits, pred = model.apply(variables, frames[0], init_mask)
+        assert logits.shape == (1, 64, 64, 3)
+        assert pred.shape == (1, 64, 64, 3)
+        np.testing.assert_allclose(np.asarray(pred).sum(-1), 1.0, rtol=1e-5)
+
+    def test_aggregate_matches_reference_formula(self):
+        rng = np.random.default_rng(2)
+        p = rng.random((2, 5, 5, 3)).astype(np.float32)
+        got = np.asarray(aggregate(jnp.asarray(p)))
+        bg = np.prod(1 - p, axis=-1, keepdims=True)
+        ref = np.clip(np.concatenate([bg, p], -1), 1e-7, 1 - 1e-7)
+        ref = np.log(ref / (1 - ref))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    def test_hard_mask_one_hot(self):
+        rng = np.random.default_rng(3)
+        pm = jnp.asarray(rng.random((1, 4, 4, 3)).astype(np.float32))
+        hard = np.asarray(hard_mask_from_pred(pm))
+        assert set(np.unique(hard)) <= {0.0, 1.0}
+        np.testing.assert_allclose(hard.sum(-1), 1.0)
+
+    def test_prepare_em_masks_ranges(self):
+        rng = np.random.default_rng(4)
+        hard = (rng.random((1, 32, 32, 3)) > 0.5).astype(np.float32)
+        soft = rng.random((1, 32, 32, 3)).astype(np.float32)
+        m = np.asarray(prepare_em_masks(jnp.asarray(hard), jnp.asarray(soft), (2, 2)))
+        assert m.shape == (1, 2, 2, 4)
+        assert m.min() >= 0.0 and m.max() <= 1.0
+
+
+class TestEngine:
+    def test_run_video(self, model_and_vars):
+        model, variables = model_and_vars
+        rng = np.random.default_rng(5)
+        frames, init_mask, active = make_video(rng)
+        preds = run_video(
+            model, variables, jax.random.PRNGKey(1), frames, init_mask, active,
+            out_size=(64, 64),
+        )
+        preds = np.asarray(preds)
+        assert preds.shape == (3, 1, 64, 64)
+        assert preds.min() >= 0 and preds.max() <= 2
+
+    def test_stepwise_matches_scan(self, model_and_vars):
+        """Per-frame step path == whole-video scan path."""
+        model, variables = model_and_vars
+        rng = np.random.default_rng(6)
+        frames, init_mask, active = make_video(rng)
+        scan_preds = np.asarray(run_video(
+            model, variables, jax.random.PRNGKey(2), frames, init_mask, active,
+            out_size=(64, 64),
+        ))
+        mem = init_memory(model, variables, jax.random.PRNGKey(2),
+                          frames[0], init_mask, active)
+        step_preds = []
+        for t in range(1, frames.shape[0]):
+            mem, pred_idx, _ = step(model, variables, mem, frames[t], active,
+                                    (64, 64), do_memorize=True)
+            step_preds.append(np.asarray(pred_idx))
+        np.testing.assert_array_equal(scan_preds, np.stack(step_preds))
+
+    def test_object_slot_padding_invariance(self, model_and_vars):
+        """Extra inactive slots must not change predicted indices.
+
+        This validates the static-padding design: params are object-count
+        independent, and masked slots contribute only the ~1e-7 clamped
+        probability mass the reference's aggregation also produces.
+        """
+        model2, variables = model_and_vars
+        rng = np.random.default_rng(7)
+        frames, init_mask2, active2 = make_video(rng, n_objs=2, n_slots=2)
+        preds2 = np.asarray(run_video(
+            model2, variables, jax.random.PRNGKey(3), frames, init_mask2,
+            active2, out_size=(64, 64),
+        ))
+
+        model4 = SWEM(tiny_cfg(max_objs=4))
+        _, init_mask4, active4 = make_video(rng, n_objs=2, n_slots=4)
+        preds4 = np.asarray(run_video(
+            model4, variables, jax.random.PRNGKey(3), frames, init_mask4,
+            active4, out_size=(64, 64),
+        ))
+        assert (preds2 != preds4).mean() < 0.002
+        assert preds4.max() <= 2  # inactive slots never win argmax
+
+    def test_mid_video_injection(self, model_and_vars):
+        """YTVOS-style late object: injected GT overwrites the new channel."""
+        model, variables = model_and_vars
+        rng = np.random.default_rng(8)
+        frames, init_mask, _ = make_video(rng, n_objs=2, n_slots=2)
+        # start with only object 1 active
+        active = jnp.asarray(np.array([[True, False]]))
+        init_only1 = np.asarray(init_mask).copy()
+        init_only1[..., 0] += init_only1[..., 2]
+        init_only1[..., 2] = 0.0
+        mem = init_memory(model, variables, jax.random.PRNGKey(4),
+                          frames[0], jnp.asarray(init_only1), active)
+        # frame 1: object 2 appears with GT mask
+        inject = np.zeros((1, 64, 64, 3), np.float32)
+        inject[..., 2] = np.asarray(init_mask)[..., 2]
+        inject_new = jnp.asarray(np.array([[False, True]]))
+        mem, pred_idx, pred_mask = step(
+            model, variables, mem, frames[1], active, (64, 64),
+            do_memorize=True, inject_mask=jnp.asarray(inject),
+            inject_new=inject_new,
+        )
+        pred_idx = np.asarray(pred_idx)
+        inj_region = np.asarray(inject[..., 2]) > 0  # (1, 64, 64)
+        assert np.all(pred_idx[inj_region] == 2)
+        assert bool(mem.obj_seen[0, 1])
