@@ -1,0 +1,90 @@
+"""Headline benchmark: SWEM 480p video-object-segmentation inference FPS.
+
+Measures the flagship model (ResNet-50, keydim 128, valdim 512, L=128,
+topl 64, 2 objects) on a synthetic 480x864 video with DAVIS-style 480x854
+output — the reference's eval configuration (basic_evaluator.py:160,
+SURVEY.md §6). FPS counts everything the reference counts: per-frame encode,
+memory read, decode, argmax, value encode, EM memorize (utils/logger.py:87-108
+semantics: wall-clock over whole-video inference, excluding PNG I/O).
+
+Baseline: the SWEM paper reports ~36 FPS at 480p on a V100 (the repo itself
+publishes no numbers — BASELINE.md); vs_baseline = ours / 36.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from swem_tpu.config import ModelConfig
+    from swem_tpu.engine import init_memory, step
+    from swem_tpu.models.swem import SWEM
+
+    cfg = ModelConfig(dtype="bfloat16")
+    model = SWEM(cfg)
+
+    T, B, H, W = 30, 1, 480, 864
+    Ho, Wo = 480, 854
+    rng = np.random.default_rng(0)
+    frames_np = rng.random((T, B, H, W, 3)).astype(np.float32)
+    init_mask = np.zeros((B, Ho, Wo, cfg.max_objs + 1), np.float32)
+    init_mask[..., 0] = 1.0
+    init_mask[:, 100:220, 150:330, 1] = 1.0
+    init_mask[:, 100:220, 150:330, 0] = 0.0
+    init_mask[:, 260:400, 500:700, 2] = 1.0
+    init_mask[:, 260:400, 500:700, 0] = 0.0
+    init_mask = jnp.asarray(init_mask)
+    active = jnp.ones((B, cfg.max_objs), bool)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(frames_np[0]), init_mask)
+
+    def frame_step(variables, mem, frame, active):
+        new_mem, pred_idx, _ = step(
+            model, variables, mem, frame, active, (Ho, Wo), do_memorize=True
+        )
+        return new_mem, pred_idx
+
+    jit_step = jax.jit(frame_step, donate_argnums=(1,))
+    frames = jnp.asarray(frames_np)
+
+    def run_once():
+        mem = init_memory(
+            model, variables, jax.random.PRNGKey(1), frames[0], init_mask, active
+        )
+        preds = []
+        for t in range(1, T):
+            mem, pred = jit_step(variables, mem, frames[t], active)
+            preds.append(pred)
+        # materialize on host: on this platform block_until_ready does not
+        # reliably synchronize, np.asarray does
+        return np.asarray(jnp.stack(preds))
+
+    run_once()  # compile + warmup
+
+    fps_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run_once()
+        dt = time.perf_counter() - t0
+        fps_runs.append((T - 1) / dt)
+    fps = float(np.median(fps_runs))
+    assert out.shape == (T - 1, B, Ho, Wo)
+
+    baseline_fps = 36.0  # SWEM paper, 480p on V100
+    print(json.dumps({
+        "metric": "swem_480p_inference_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Evaluation CLI (re-design of /root/reference/eval.py:11-62).
+
+Examples:
+    python eval.py --eval_set DAVIS17 --data_root /data/DAVIS \\
+        --resume ckpts/swem.pth
+    python eval.py --eval_set YTVOS19 --data_root /data/YTVOS19/valid_all_frames \\
+        --resume ckpts/orbax_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="SWEM-TPU evaluation")
+    p.add_argument("--model", default="SWEM")
+    p.add_argument("--backbone", default="resnet50", choices=["resnet50", "resnet18"])
+    p.add_argument("--eval_set", default="DAVIS17",
+                   choices=["DAVIS16", "DAVIS17", "DAVIS17Test", "YTVOS18", "YTVOS19"])
+    p.add_argument("--data_root", required=True, help="dataset root for eval_set")
+    p.add_argument("--resume", required=True,
+                   help="checkpoint: torch .pth (auto-converted) or orbax dir")
+    p.add_argument("--exp_name", default="swem")
+    p.add_argument("--log_dir", default="logs")
+    p.add_argument("--ssize", type=int, default=480)
+    p.add_argument("--key_dim", type=int, default=128)
+    p.add_argument("--val_dim", type=int, default=512)
+    p.add_argument("--num_bases", type=int, default=128)
+    p.add_argument("--em_iters", type=int, default=4)
+    p.add_argument("--tau", type=float, default=0.05)
+    p.add_argument("--top_l", type=int, default=64)
+    p.add_argument("--max_objs", type=int, default=8)
+    p.add_argument("--stage", type=int, default=3)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--davis_in_size", type=int, nargs=2, default=(480, 864),
+                   metavar=("H", "W"),
+                   help="fixed DAVIS inference size (debug/small-scale runs)")
+    return p.parse_args()
+
+
+def build_config(args):
+    from swem_tpu.config import EvalConfig, ModelConfig, SolverConfig, SWEMConfig
+
+    model = ModelConfig(
+        model_name=args.model, backbone=args.backbone, keydim=args.key_dim,
+        valdim=args.val_dim, num_bases=args.num_bases, num_em_iters=args.em_iters,
+        em_tau=args.tau, topl=args.top_l, max_objs=args.max_objs, dtype=args.dtype,
+        single_object=(args.eval_set == "DAVIS16"),
+    )
+    ev = EvalConfig(
+        eval_set=args.eval_set, data_root=args.data_root, ssize=args.ssize,
+        max_objs=args.max_objs, visualize=args.visualize, chunk=args.chunk,
+        davis_in_size=tuple(args.davis_in_size),
+    )
+    return SWEMConfig(model=model, eval=ev, solver=SolverConfig(stage=args.stage),
+                      exp_name=args.exp_name, log_dir=args.log_dir, resume=args.resume)
+
+
+def load_variables(cfg, resume: str):
+    import jax
+    import jax.numpy as jnp
+
+    from swem_tpu.models.swem import SWEM
+
+    if resume.endswith((".pth", ".pt")):
+        from swem_tpu.io.torch_import import import_swem_checkpoint
+
+        return import_swem_checkpoint(resume)
+    from swem_tpu.io.checkpoint import restore_params
+
+    model = SWEM(dataclasses.replace(cfg.model, max_objs=cfg.eval.max_objs))
+    frame = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask = jnp.zeros((1, 64, 64, cfg.eval.max_objs + 1), jnp.float32)
+    abstract = jax.eval_shape(model.init, jax.random.PRNGKey(0), frame, mask)
+    return restore_params(resume, abstract)
+
+
+def main():
+    args = get_args()
+    cfg = build_config(args)
+    variables = load_variables(cfg, args.resume)
+
+    from swem_tpu.eval.evaluator import Evaluator
+
+    evaluator = Evaluator(cfg, variables)
+    evaluator.val()
+    evaluator.logger.info("Evaluation done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,10 @@ class EvalConfig:
     data_root: str = "datasets"
     output_dir: str = "outputs"
     ssize: int = 480  # short side for inference
+    # fixed DAVIS inference size (basic_evaluator.py:160); overridable for
+    # small-scale tests
+    davis_in_size: Tuple[int, int] = (480, 864)
+    chunk: int = 16  # scan chunk length for the DAVIS fast path
     visualize: bool = False
     max_objs: int = 8  # static object-slot budget at eval time
     flip: bool = False

@@ -1,0 +1,138 @@
+"""YouTube-VOS evaluation video reader (re-design of
+/root/reference/datasets/YTVOS_Test.py:22-161).
+
+Parses meta.json, trims frames before the first object appearance, resizes
+the short side to a /16-divisible size, and builds per-frame *injection*
+masks for objects appearing mid-video. Unlike the reference's growing object
+axis, each object gets a fixed slot (in order of first appearance) in a
+static (n_slots+1)-channel layout; ``slot_to_orig`` maps slots back to the
+original annotation ids at save time (basic_evaluator.py:201-206).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from glob import glob
+from typing import Dict, Iterator, List
+
+import numpy as np
+
+from swem_tpu.data.davis_test import load_image, load_label, to_onehot
+
+
+def suit_size(size: int, ratio: int = 16) -> int:
+    """Nearest /16-divisible size (YTVOS_Test.py:14-19)."""
+    r = size % ratio
+    size -= r
+    if r > 7:
+        size += 16
+    return size
+
+
+@dataclass
+class YTVOSVideo:
+    name: str
+    frames: np.ndarray  # (T, H, W, 3) float32 at inference size
+    init_mask: np.ndarray  # (Ho, Wo, n_slots+1) frame-0 one-hot (original size)
+    first_label: np.ndarray  # (Ho, Wo) original-id label of frame 0
+    # frame_idx -> dict(mask=(Ho,Wo,n_slots+1) one-hot fg only in new slots,
+    #                   new_slots=list[int])
+    injections: Dict[int, dict] = field(default_factory=dict)
+    slot_to_orig: List[int] = field(default_factory=list)  # slot n -> original id
+    frame_names: List[str] = field(default_factory=list)
+    names_to_save: List[str] = field(default_factory=list)
+    original_size: tuple = (0, 0)
+    n_objs: int = 0
+
+
+class YTVOSTestSet:
+    def __init__(self, root: str, dataset_file: str = "meta.json",
+                 short_size: int = 480, n_slots: int = 12):
+        self.root = root
+        self.n_slots = n_slots
+        self.ssize = suit_size(short_size)
+        with open(os.path.join(root, dataset_file)) as f:
+            self.meta = json.load(f)["videos"]
+        self.videos = list(self.meta)
+
+    def __len__(self) -> int:
+        return len(self.videos)
+
+    def _infer_size(self, h: int, w: int):
+        """Short side -> ssize, both dims /16-divisible (YTVOS_Test.py:75-90)."""
+        if h < w:
+            if h < self.ssize:
+                return suit_size(h), suit_size(w)
+            out_h = self.ssize
+            return out_h, suit_size(suit_size(int(w * out_h / h)))
+        if w < self.ssize:
+            return suit_size(h), suit_size(w)
+        out_w = self.ssize
+        return suit_size(int(h * out_w / w)), out_w
+
+    def __getitem__(self, idx: int) -> YTVOSVideo:
+        name = self.videos[idx]
+        img_dir = os.path.join(self.root, "JPEGImages", name)
+        mask_dir = os.path.join(self.root, "Annotations", name)
+        img_list = sorted(glob(os.path.join(img_dir, "*.jpg")))
+        frame_names = [os.path.splitext(os.path.basename(p))[0] for p in img_list]
+
+        objs = self.meta[name]["objects"]
+        # trim frames before the first object appears (YTVOS_Test.py:57-66)
+        first_appear = min(frame_names.index(g["frames"][0]) for g in objs.values())
+        img_list = img_list[first_appear:]
+        frame_names = frame_names[first_appear:]
+
+        # group objects by appearance frame; assign slots in processing order
+        # (the reference's obj_idx_list construction, YTVOS_Test.py:94-131)
+        ann_frames: Dict[int, dict] = {}
+        for obj_id_str, g in objs.items():
+            obj_id = int(obj_id_str)
+            fidx = frame_names.index(g["frames"][0])
+            entry = ann_frames.setdefault(
+                fidx, {"ids": [], "path": os.path.join(mask_dir, g["frames"][0] + ".png")}
+            )
+            entry["ids"].append(obj_id)
+        ann_frames = dict(sorted(ann_frames.items()))
+
+        slot_to_orig: List[int] = []
+        injections: Dict[int, dict] = {}
+        h0 = w0 = None
+        for fidx, entry in ann_frames.items():
+            label = load_label(entry["path"])
+            h0, w0 = label.shape
+            mask = np.zeros((h0, w0, self.n_slots + 1), np.float32)
+            mask[..., 0] = (label == 0).astype(np.float32)
+            new_slots = []
+            for obj_id in entry["ids"]:
+                slot = len(slot_to_orig)
+                slot_to_orig.append(obj_id)
+                mask[..., slot + 1] = (label == obj_id).astype(np.float32)
+                new_slots.append(slot)
+            injections[fidx] = {"mask": mask, "new_slots": new_slots}
+
+        first_label = load_label(ann_frames[0]["path"])
+        names_to_save = sorted({fn for g in objs.values() for fn in g["frames"]})
+
+        out_h, out_w = self._infer_size(h0, w0)
+        frames = np.stack([load_image(p, size=(out_h, out_w)) for p in img_list])
+
+        init = injections.pop(0)
+        return YTVOSVideo(
+            name=name,
+            frames=frames,
+            init_mask=init["mask"],
+            first_label=first_label,
+            injections=injections,
+            slot_to_orig=slot_to_orig,
+            frame_names=frame_names,
+            names_to_save=names_to_save,
+            original_size=(h0, w0),
+            n_objs=len(slot_to_orig),
+        )
+
+    def __iter__(self) -> Iterator[YTVOSVideo]:
+        for i in range(len(self)):
+            yield self[i]

@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from swem_tpu.config import ModelConfig
 from swem_tpu.models import em
@@ -164,3 +165,72 @@ def make_jitted_video_runner(model: SWEM, out_size: Tuple[int, int]):
         return run_video(model, variables, rng, frames, init_mask, active, out_size)
 
     return _run
+
+
+def run_chunk(
+    model: SWEM,
+    variables,
+    mem: em.VOSMemory,
+    frames: jnp.ndarray,
+    active: jnp.ndarray,
+    out_size: Tuple[int, int],
+) -> Tuple[em.VOSMemory, jnp.ndarray]:
+    """Scan a fixed-size chunk of frames, carrying the memory.
+
+    frames: (C, B, H, W, 3). Returns (mem, preds (C, B, Ho, Wo) int32).
+
+    Chunking keeps compilation independent of video length: full chunks run
+    under one compiled scan, the remainder runs as single jitted steps
+    (see ChunkedVideoRunner).
+    """
+
+    def body(mem, frame):
+        mem, pred_idx, _ = step(
+            model, variables, mem, frame, active, out_size, do_memorize=True
+        )
+        return mem, pred_idx
+
+    return jax.lax.scan(body, mem, frames)
+
+
+class ChunkedVideoRunner:
+    """Compile-once-per-(chunk,out_size) whole-video inference.
+
+    Avoids both per-frame dispatch overhead and per-video-length
+    recompilation: frames 1..T-1 are processed in fixed-size scan chunks
+    with a variable-length Python tail of single steps.
+    """
+
+    def __init__(self, model: SWEM, out_size: Tuple[int, int], chunk: int = 16):
+        self.model = model
+        self.out_size = out_size
+        self.chunk = chunk
+        self._init = jax.jit(
+            lambda v, r, f, m, a: init_memory(model, v, r, f, m, a)
+        )
+        self._chunk = jax.jit(
+            lambda v, mem, f, a: run_chunk(model, v, mem, f, a, out_size),
+            donate_argnums=(1,),
+        )
+        self._step = jax.jit(
+            lambda v, mem, f, a: step(model, v, mem, f, a, out_size, do_memorize=True)[:2],
+            donate_argnums=(1,),
+        )
+
+    def __call__(self, variables, rng, frames, init_mask, active):
+        """frames: (T, B, H, W, 3) device or host array. Returns host preds
+        (T-1, B, Ho, Wo) uint8."""
+        frames = jnp.asarray(frames)
+        T = frames.shape[0]
+        mem = self._init(variables, rng, frames[0], init_mask, active)
+        preds = []
+        t = 1
+        while t + self.chunk <= T:
+            mem, p = self._chunk(variables, mem, frames[t : t + self.chunk], active)
+            preds.append(np.asarray(p, dtype=np.uint8))
+            t += self.chunk
+        while t < T:
+            mem, p = self._step(variables, mem, frames[t], active)
+            preds.append(np.asarray(p, dtype=np.uint8)[None])
+            t += 1
+        return np.concatenate(preds, axis=0)

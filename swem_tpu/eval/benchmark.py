@@ -1,0 +1,144 @@
+"""Offline DAVIS J&F benchmark evaluation.
+
+Re-design of the vendored davis2017 package's semi-supervised path
+(/root/reference/evaluation/davis2017/evaluation.py:19-322, davis.py:91-115,
+results.py:22-31) plus the CSV/report writer
+(basic_evaluator.py:271-328). Pure numpy/PIL — no torch, no pandas.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from swem_tpu.eval.metrics import boundary_f_frames, jaccard, statistics
+
+VOID_LABEL = 255
+
+
+class DavisGT:
+    """DAVIS ground-truth reader (davis.py:14-115)."""
+
+    def __init__(self, root: str, year: str = "2017", subset: str = "val",
+                 resolution: str = "480p", sequences="all"):
+        self.root = root
+        self.year = str(year)
+        self.img_path = os.path.join(root, "JPEGImages", resolution)
+        self.mask_path = os.path.join(root, "Annotations", resolution)
+        imageset = os.path.join(root, "ImageSets", self.year, f"{subset}.txt")
+        if sequences == "all":
+            with open(imageset) as f:
+                self.sequences = [ln.strip() for ln in f if ln.strip()]
+        else:
+            self.sequences = list(sequences)
+
+    def get_all_masks(self, seq: str) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+        """Returns (per-object masks (N, T, H, W) bool, void (T, H, W), ids).
+
+        255 -> void; DAVIS-2016 collapses all ids to 1 (davis.py:91-110).
+        Objects are defined by the ids present in frame 0.
+        """
+        paths = sorted(glob(os.path.join(self.mask_path, seq, "*.png")))
+        masks = np.stack([np.array(Image.open(p), np.uint8) for p in paths])
+        ids = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        void = masks == VOID_LABEL
+        masks = np.where(void, 0, masks)
+        if self.year == "2016":
+            masks = (masks > 0).astype(np.uint8)
+        num_objects = int(masks[0].max())
+        obj_ids = np.arange(1, num_objects + 1)
+        sep = masks[None] == obj_ids[:, None, None, None]
+        return sep, void, ids
+
+
+def read_result_masks(res_path: str, seq: str, mask_ids: Sequence[str],
+                      n_objects: int) -> np.ndarray:
+    """Read predicted PNGs into per-object bool masks (results.py:14-43).
+
+    Missing/short predictions are zero-padded like the reference
+    (evaluation.py:52-55).
+    """
+    first = np.array(Image.open(os.path.join(res_path, seq, f"{mask_ids[0]}.png")), np.uint8)
+    out = np.zeros((n_objects, len(mask_ids)) + first.shape, bool)
+    for t, mid in enumerate(mask_ids):
+        p = os.path.join(res_path, seq, f"{mid}.png")
+        if not os.path.exists(p):
+            continue
+        m = np.array(Image.open(p), np.uint8)
+        for n in range(n_objects):
+            out[n, t] = m == (n + 1)
+    return out
+
+
+class DavisEvaluation:
+    """Semi-supervised DAVIS evaluation (evaluation.py:265-322).
+
+    First and last frames are excluded; per-object J and F series are
+    reduced with (mean, recall, decay).
+    """
+
+    def __init__(self, davis_root: str, year: str = "2017", gt_set: str = "val"):
+        self.dataset = DavisGT(davis_root, year=year, subset=gt_set)
+
+    def evaluate(self, res_path: str, metric=("J", "F")) -> Dict:
+        res: Dict[str, Dict] = {
+            m: {"M": [], "R": [], "D": [], "M_per_object": {}, "per_obj_frame": {}}
+            for m in metric
+        }
+        for seq in self.dataset.sequences:
+            gt, void, ids = self.dataset.get_all_masks(seq)
+            gt, ids = gt[:, 1:-1], ids[1:-1]
+            pred = read_result_masks(res_path, seq, ids, gt.shape[0])
+            for n in range(gt.shape[0]):
+                seq_name = f"{seq}_{n + 1}"
+                if "J" in metric:
+                    j = jaccard(gt[n], pred[n])
+                    M, R, D = statistics(j)
+                    res["J"]["M"].append(M)
+                    res["J"]["R"].append(R)
+                    res["J"]["D"].append(D)
+                    res["J"]["M_per_object"][seq_name] = M
+                    res["J"]["per_obj_frame"][seq_name] = j
+                if "F" in metric:
+                    f = boundary_f_frames(gt[n], pred[n])
+                    M, R, D = statistics(f)
+                    res["F"]["M"].append(M)
+                    res["F"]["R"].append(R)
+                    res["F"]["D"].append(D)
+                    res["F"]["M_per_object"][seq_name] = M
+                    res["F"]["per_obj_frame"][seq_name] = f
+        return res
+
+
+def write_reports(metrics_res: Dict, save_dir: str, eval_set: str,
+                  logger=None) -> Dict[str, float]:
+    """Global + per-sequence CSVs and stdout tables (basic_evaluator.py:271-328)."""
+    J, F = metrics_res["J"], metrics_res["F"]
+    final_mean = (np.mean(J["M"]) + np.mean(F["M"])) / 2.0
+    g_names = ["J&F-Mean", "J-Mean", "J-Recall", "J-Decay", "F-Mean", "F-Recall", "F-Decay"]
+    g_vals = [final_mean, np.mean(J["M"]), np.mean(J["R"]), np.mean(J["D"]),
+              np.mean(F["M"]), np.mean(F["R"]), np.mean(F["D"])]
+
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, f"global_results-{eval_set}.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(g_names)
+        w.writerow([f"{v:.3f}" for v in g_vals])
+
+    with open(os.path.join(save_dir, f"per-sequence_results-{eval_set}.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Sequence", "J-Mean", "F-Mean"])
+        for name in J["M_per_object"]:
+            w.writerow([name, f"{J['M_per_object'][name]:.3f}", f"{F['M_per_object'][name]:.3f}"])
+
+    table = " ".join(f"{n}: {v:.3f}" for n, v in zip(g_names, g_vals))
+    msg = f"--- Global results for {eval_set} ---\n{table}"
+    print(msg)
+    if logger is not None:
+        logger.info(msg)
+    return dict(zip(g_names, [float(v) for v in g_vals]))

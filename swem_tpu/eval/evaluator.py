@@ -1,0 +1,221 @@
+"""Evaluation runner — DAVIS / YouTube-VOS inference + PNG output + metrics.
+
+Re-design of /root/reference/methods/basic_modules/basic_evaluator.py:25-331
+and methods/SWEM/swem_evaluator.py:16-160 around the functional engine:
+
+* DAVIS: frames resized on-device to (480, 864) bicubic
+  (basic_evaluator.py:160), whole video run through the chunked-scan runner,
+  predictions saved as palette PNGs at the original 480p size.
+* YTVOS: per-frame jitted steps with ground-truth injection at object
+  appearance frames; slot indices mapped back to original annotation ids
+  before saving (basic_evaluator.py:201-206).
+
+FPS is whole-video wall clock with host materialization as the sync fence
+(utils/logger.py:87-108 semantics), excluding PNG I/O.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swem_tpu.config import SWEMConfig
+from swem_tpu.data.davis_test import DavisTestSet
+from swem_tpu.data.palette import davis_palette, save_seg_mask, ytvos_palette
+from swem_tpu.data.ytvos_test import YTVOSTestSet
+from swem_tpu.engine import ChunkedVideoRunner, init_memory, step
+from swem_tpu.models.swem import SWEM
+from swem_tpu.ops.resize import resize
+from swem_tpu.utils import FrameSecondMeter, mkdir, setup_logger
+
+DAVIS_IN_SIZE = (480, 864)  # basic_evaluator.py:160
+
+
+class Evaluator:
+    def __init__(self, cfg: SWEMConfig, variables, logger=None):
+        self.cfg = cfg
+        self.eval_set = cfg.eval.eval_set
+        self.variables = variables
+        model_cfg = cfg.model
+        if model_cfg.max_objs != cfg.eval.max_objs:
+            import dataclasses
+
+            model_cfg = dataclasses.replace(model_cfg, max_objs=cfg.eval.max_objs)
+        self.model = SWEM(model_cfg)
+        self.n_slots = model_cfg.max_objs
+
+        self.save_dir = os.path.join(
+            cfg.log_dir, cfg.model.model_name, cfg.solver.stage_name,
+            cfg.exp_name, "results", self.eval_set,
+        )
+        mkdir(self.save_dir)
+        self.out_root = os.path.join(self.save_dir, "output")
+        mkdir(self.out_root)
+        self.logger = logger or setup_logger("swem_eval", self.save_dir, "test_stage")
+        self.davis_palette = davis_palette()
+        self.ytvos_palette = ytvos_palette()
+        self._runners: Dict[Tuple[int, int], ChunkedVideoRunner] = {}
+
+        root = cfg.eval.data_root
+        if self.eval_set == "DAVIS16":
+            self.dataset = DavisTestSet(root, "2016/val.txt", single_obj=True, n_slots=self.n_slots)
+        elif self.eval_set == "DAVIS17":
+            self.dataset = DavisTestSet(root, "2017/val.txt", n_slots=self.n_slots)
+        elif self.eval_set == "DAVIS17Test":
+            self.dataset = DavisTestSet(root, "2017/test-dev.txt", n_slots=self.n_slots)
+        elif self.eval_set in ("YTVOS18", "YTVOS19"):
+            self.dataset = YTVOSTestSet(root, short_size=cfg.eval.ssize, n_slots=self.n_slots)
+        else:
+            raise ValueError(f"{self.eval_set} is unsupported")
+
+        in_size = tuple(cfg.eval.davis_in_size)
+        self._resize_davis = jax.jit(lambda f: resize(f, in_size, "bicubic"))
+
+    # ------------------------------------------------------------------ #
+    def _runner(self, out_size) -> ChunkedVideoRunner:
+        if out_size not in self._runners:
+            self._runners[out_size] = ChunkedVideoRunner(
+                self.model, out_size, chunk=self.cfg.eval.chunk
+            )
+        return self._runners[out_size]
+
+    def evaluate_davis(self):
+        fps = FrameSecondMeter()
+        rng = jax.random.PRNGKey(self.cfg.data.seed)
+        for seq_idx, video in enumerate(self.dataset):
+            T, Ho, Wo, _ = video.frames.shape
+            out_dir = os.path.join(self.out_root, video.name)
+            mkdir(out_dir)
+            self.logger.info(f"Testing video {seq_idx}: {video.name} ({T} frames)")
+
+            frames = jnp.asarray(video.frames)[:, None]  # (T, 1, H, W, 3)
+            in_frames = self._resize_davis(frames)
+            init_mask = jnp.asarray(video.init_mask)[None]
+            active = np.zeros((1, self.n_slots), bool)
+            active[:, : video.n_objs] = True
+            runner = self._runner((Ho, Wo))
+
+            fps.tic()
+            preds = runner(self.variables, rng, in_frames, init_mask, jnp.asarray(active))
+            fps.toc(T)
+
+            first = np.argmax(video.init_mask, axis=-1).astype(np.uint8)
+            save_seg_mask(first, os.path.join(out_dir, f"{video.frame_names[0]}.png"),
+                          self.davis_palette)
+            for t in range(1, T):
+                save_seg_mask(preds[t - 1, 0],
+                              os.path.join(out_dir, f"{video.frame_names[t]}.png"),
+                              self.davis_palette)
+        fps.end()
+        self.logger.info(f"fps: {fps.fps}")
+        return fps.fps
+
+    # ------------------------------------------------------------------ #
+    def evaluate_ytvos(self):
+        fps = FrameSecondMeter()
+        rng = jax.random.PRNGKey(self.cfg.data.seed)
+        jit_init = jax.jit(partial(init_memory, self.model))
+        step_cache: Dict[tuple, callable] = {}
+
+        for seq_idx, video in enumerate(self.dataset):
+            T = video.frames.shape[0]
+            Ho, Wo = video.original_size
+            out_dir = os.path.join(self.out_root, video.name)
+            mkdir(out_dir)
+            self.logger.info(
+                f"Testing video {seq_idx}: {video.name} ({T} frames, "
+                f"in {video.frames.shape[1:3]}, out {video.original_size})"
+            )
+
+            key = (video.frames.shape[1:3], (Ho, Wo))
+            if key not in step_cache:
+                step_cache[key] = {
+                    "plain": jax.jit(
+                        lambda v, mem, f, a: step(
+                            self.model, v, mem, f, a, (Ho, Wo), do_memorize=True
+                        )[:2],
+                        donate_argnums=(1,),
+                    ),
+                    "inject": jax.jit(
+                        lambda v, mem, f, a, im, inew: step(
+                            self.model, v, mem, f, a, (Ho, Wo), do_memorize=True,
+                            inject_mask=im, inject_new=inew,
+                        )[:2],
+                        donate_argnums=(1,),
+                    ),
+                }
+            fns = step_cache[key]
+
+            frames = jnp.asarray(video.frames)[:, None]
+            init_mask = jnp.asarray(video.init_mask)[None]
+            active = np.zeros((1, self.n_slots), bool)
+            # slots 0..n0-1 are the objects injected at frame 0 (slot order
+            # follows appearance order by construction)
+            n0 = int(video.init_mask[..., 1:].sum(axis=(0, 1)).astype(bool).sum())
+            active[:, :n0] = True
+            active = jnp.asarray(active)
+
+            fps.tic()
+            mem = jit_init(self.variables, rng, frames[0], init_mask, active)
+            all_preds = []
+            for t in range(1, T):
+                inj = video.injections.get(t)
+                if inj is not None:
+                    inew = np.zeros((1, self.n_slots), bool)
+                    inew[:, inj["new_slots"]] = True
+                    mem, pred = fns["inject"](
+                        self.variables, mem, frames[t], active,
+                        jnp.asarray(inj["mask"])[None], jnp.asarray(inew),
+                    )
+                    active = jnp.logical_or(active, jnp.asarray(inew))
+                else:
+                    mem, pred = fns["plain"](self.variables, mem, frames[t], active)
+                all_preds.append(np.asarray(pred, dtype=np.uint8)[0])
+            fps.toc(T)
+
+            # save frame 0 (original ids)
+            save_seg_mask(
+                video.first_label,
+                os.path.join(out_dir, f"{video.frame_names[0]}.png"),
+                self.ytvos_palette,
+            )
+            slot_map = np.zeros(self.n_slots + 1, np.uint8)
+            for slot, orig in enumerate(video.slot_to_orig):
+                slot_map[slot + 1] = orig
+            for t in range(1, T):
+                if video.frame_names[t] not in video.names_to_save:
+                    continue
+                pred = slot_map[all_preds[t - 1]]
+                save_seg_mask(
+                    pred, os.path.join(out_dir, f"{video.frame_names[t]}.png"),
+                    self.ytvos_palette,
+                )
+        fps.end()
+        self.logger.info(f"fps: {fps.fps}")
+        return fps.fps
+
+    # ------------------------------------------------------------------ #
+    def get_metrics(self) -> Optional[Dict[str, float]]:
+        from swem_tpu.eval.benchmark import DavisEvaluation, write_reports
+
+        if self.eval_set not in ("DAVIS16", "DAVIS17"):
+            return None
+        year = "2016" if self.eval_set == "DAVIS16" else "2017"
+        ev = DavisEvaluation(self.cfg.eval.data_root, year=year, gt_set="val")
+        metrics = ev.evaluate(self.out_root)
+        return write_reports(metrics, self.save_dir, self.eval_set, self.logger)
+
+    def val(self) -> Optional[Dict[str, float]]:
+        """Full evaluation flow (swem_evaluator.py:150-160)."""
+        if "DAVIS" in self.eval_set:
+            self.evaluate_davis()
+            if self.eval_set != "DAVIS17Test":
+                return self.get_metrics()
+            return None
+        self.evaluate_ytvos()
+        return None

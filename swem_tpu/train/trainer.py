@@ -1,0 +1,127 @@
+"""Training step — recurrent T-frame unroll with the EM memory carried
+functionally (re-design of /root/reference/methods/SWEM/swem_trainer.py:59-108
+and basic_trainer.py:192-307).
+
+The torch trainer mutates hidden memory inside the module and backprops
+through a Python loop; here the whole step (frame-0 init, T-1 supervised
+decode steps, loss, grads, optimizer update) is a single pure function,
+jit-compiled once. Data parallelism comes from sharding the batch over a
+``Mesh`` 'data' axis — XLA inserts the gradient all-reduce (the NCCL DDP
+equivalent of swem_trainer.py:42-43).
+
+Batch layout (all channel-last):
+  frames:    (B, T, H, W, 3) float in [0, 1]
+  masks:     (B, H, W, N+1) one-hot frame-0 ground truth
+  label:     (B, T, H, W) int32 argmax labels for all frames
+  valid_obj: (B, N+1) float {0,1} validity incl. background channel
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from swem_tpu.config import SWEMConfig
+from swem_tpu.models import em
+from swem_tpu.models.swem import SWEM, hard_mask_from_pred, prepare_em_masks
+from swem_tpu.train.losses import make_criterion
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray  # () int32
+
+
+def create_train_state(model: SWEM, rng: jax.Array, tx, sample_frame, sample_mask) -> TrainState:
+    variables = model.init(rng, sample_frame, sample_mask)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng):
+    """Frame-0 init + supervised unroll over frames 1..T-1 (swem_trainer.py:59-91).
+
+    Returns stacked logits (B, T-1, H, W, N+1).
+    """
+    cfg = model.cfg
+    B, T, H, W, _ = frames.shape
+    out_size = (H, W)
+    active = valid_obj[:, 1:] > 0.5  # (B, N)
+
+    qk16, _, s16, _, _ = model.apply(variables, frames[:, 0], method="encode_key")
+    mv16 = model.apply(variables, frames[:, 0], init_mask, s16, method="encode_value")
+    h, w = qk16.shape[1:3]
+    mem = em.fresh_memory(rng, B, cfg.max_objs, cfg.keydim, cfg.valdim, cfg.num_bases)
+    em_masks = prepare_em_masks(init_mask, init_mask.astype(jnp.float32), (h, w))
+    mem = em.memorize(
+        mem,
+        qk16.reshape(B, h * w, -1).astype(jnp.float32),
+        mv16.reshape(B, cfg.max_objs, h * w, -1).astype(jnp.float32),
+        em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+    )
+
+    logits_list = []
+    for i in range(1, T):
+        qk16, qv16, s16, s8, s4 = model.apply(variables, frames[:, i], method="encode_key")
+        context = model.apply(variables, qk16, qv16, mem, method="match")
+        logits, pred_mask = model.apply(
+            variables, context, s8, s4, valid_obj[:, 1:], out_size, method="decode"
+        )
+        logits_list.append(logits)
+        if i < T - 1:
+            hard = hard_mask_from_pred(pred_mask)
+            mv16 = model.apply(variables, frames[:, i], pred_mask, s16, method="encode_value")
+            em_masks = prepare_em_masks(hard, pred_mask, (h, w))
+            mem = em.memorize(
+                mem,
+                qk16.reshape(B, h * w, -1).astype(jnp.float32),
+                mv16.reshape(B, cfg.max_objs, h * w, -1).astype(jnp.float32),
+                em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+            )
+    return jnp.stack(logits_list, axis=1)
+
+
+def make_train_step(model: SWEM, cfg: SWEMConfig, tx) -> Callable:
+    """Build the jittable train step: (state, batch, rng) -> (state, metrics)."""
+    criterion = make_criterion(cfg.loss)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        mem_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits = _unrolled_forward(
+                model, variables, batch["frames"], batch["masks"],
+                batch["valid_obj"], mem_rng,
+            )
+            losses = criterion(
+                logits, batch["label"][:, 1:], state.step, batch["valid_obj"]
+            )
+            return losses["total_loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=state.batch_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    return train_step

@@ -1,0 +1,192 @@
+"""End-to-end evaluation pipeline tests on synthetic mini datasets.
+
+Builds DAVIS- and YTVOS-shaped directory trees with tiny videos, runs the
+full Evaluator (inference -> palette PNGs -> J&F metrics -> CSVs) on CPU with
+a tiny model, and additionally validates the metric stack analytically
+(perfect predictions -> J = F = 1, the reference's test_void_masks idea,
+evaluation/pytest/test_evaluation.py:118-128).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from swem_tpu.config import EvalConfig, ModelConfig, SWEMConfig
+from swem_tpu.data.palette import davis_palette, save_seg_mask
+from swem_tpu.eval.benchmark import DavisEvaluation, write_reports
+from swem_tpu.eval.metrics import boundary_f_frames, jaccard, statistics
+
+
+H, W = 64, 96
+
+
+def make_label(t, kind="square"):
+    lab = np.zeros((H, W), np.uint8)
+    x = 8 + 2 * t
+    lab[10:30, x : x + 20] = 1
+    lab[40:56, 50:80] = 2
+    return lab
+
+
+def build_fake_davis(root, n_videos=2, n_frames=5):
+    os.makedirs(os.path.join(root, "ImageSets", "2017"), exist_ok=True)
+    names = [f"vid{i}" for i in range(n_videos)]
+    with open(os.path.join(root, "ImageSets", "2017", "val.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    rng = np.random.default_rng(0)
+    pal = davis_palette()
+    for name in names:
+        jdir = os.path.join(root, "JPEGImages", "480p", name)
+        adir = os.path.join(root, "Annotations", "480p", name)
+        os.makedirs(jdir, exist_ok=True)
+        os.makedirs(adir, exist_ok=True)
+        for t in range(n_frames):
+            img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(jdir, f"{t:05d}.jpg"))
+            save_seg_mask(make_label(t), os.path.join(adir, f"{t:05d}.png"), pal)
+    return names
+
+
+class TestMetricStack:
+    def test_perfect_prediction_scores_one(self, tmp_path):
+        """GT copied as prediction -> J&F == 1 everywhere."""
+        root = str(tmp_path / "davis")
+        names = build_fake_davis(root)
+        res = str(tmp_path / "results")
+        pal = davis_palette()
+        for name in names:
+            os.makedirs(os.path.join(res, name), exist_ok=True)
+            for t in range(5):
+                save_seg_mask(make_label(t), os.path.join(res, name, f"{t:05d}.png"), pal)
+        ev = DavisEvaluation(root, year="2017", gt_set="val")
+        metrics = ev.evaluate(res)
+        assert np.allclose(metrics["J"]["M"], 1.0)
+        assert np.allclose(metrics["F"]["M"], 1.0)
+        g = write_reports(metrics, str(tmp_path / "out"), "DAVIS17")
+        assert abs(g["J&F-Mean"] - 1.0) < 1e-9
+        assert os.path.exists(tmp_path / "out" / "global_results-DAVIS17.csv")
+
+    def test_void_pixels_excluded(self):
+        """The reference's void-mask analytic check (test_evaluation.py:118-128)."""
+        gt = np.zeros((200, 200))
+        gt[100:150, 100:150] = 1
+        void = np.zeros((200, 200))
+        void[95:105, 95:105] = 1  # void straddles the corner
+        pred = gt.copy()
+        pred[void > 0] = 0  # prediction wrong only inside void
+        j = jaccard(gt, pred, void)
+        f = boundary_f_frames(gt[None], pred[None], void[None])
+        assert float(j) == 1.0
+        assert float(f[0]) == 1.0
+
+    def test_statistics_decay(self):
+        vals = np.linspace(1.0, 0.0, 20)
+        M, R, D = statistics(vals)
+        assert abs(M - 0.5) < 1e-6
+        assert 0.45 < R < 0.55
+        assert D > 0.6  # strong decay
+
+
+class TestEvaluatorE2E:
+    @pytest.fixture(scope="class")
+    def fake_davis(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("davis")
+        build_fake_davis(str(root))
+        return str(root)
+
+    def test_davis_eval_pipeline(self, fake_davis, tmp_path_factory):
+        from swem_tpu.eval.evaluator import Evaluator
+        from swem_tpu.models.swem import SWEM
+
+        log_dir = str(tmp_path_factory.mktemp("logs"))
+        model_cfg = ModelConfig(
+            backbone="resnet18", keydim=8, valdim=16, num_bases=4,
+            num_em_iters=2, topl=2, max_objs=4, mdim=16,
+        )
+        cfg = SWEMConfig(
+            model=model_cfg,
+            eval=EvalConfig(eval_set="DAVIS17", data_root=fake_davis, max_objs=4,
+                            davis_in_size=(64, 96), chunk=2),
+            log_dir=log_dir,
+        )
+        model = SWEM(model_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 96, 3)), jnp.zeros((1, H, W, 5)),
+        )
+        ev = Evaluator(cfg, variables)
+        fps = ev.evaluate_davis()
+        assert fps > 0
+        # every frame of every video got a PNG
+        for name in ("vid0", "vid1"):
+            pngs = os.listdir(os.path.join(ev.out_root, name))
+            assert len(pngs) == 5
+        g = ev.get_metrics()
+        assert set(g) == {"J&F-Mean", "J-Mean", "J-Recall", "J-Decay",
+                          "F-Mean", "F-Recall", "F-Decay"}
+        assert np.isfinite(g["J&F-Mean"])
+
+    def test_ytvos_eval_pipeline(self, tmp_path_factory):
+        import json
+
+        from swem_tpu.eval.evaluator import Evaluator
+        from swem_tpu.models.swem import SWEM
+
+        root = str(tmp_path_factory.mktemp("ytvos"))
+        pal = davis_palette()
+        rng = np.random.default_rng(1)
+        name = "video0"
+        jdir = os.path.join(root, "JPEGImages", name)
+        adir = os.path.join(root, "Annotations", name)
+        os.makedirs(jdir)
+        os.makedirs(adir)
+        frames = [f"{i:05d}" for i in range(5)]
+        for fn in frames:
+            img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(jdir, fn + ".jpg"))
+        # object 1 appears at frame 0; object 3 (original id 3) at frame 2
+        lab0 = np.zeros((64, 64), np.uint8)
+        lab0[8:24, 8:24] = 1
+        save_seg_mask(lab0, os.path.join(adir, "00000.png"), pal)
+        lab2 = np.zeros((64, 64), np.uint8)
+        lab2[40:60, 40:60] = 3
+        save_seg_mask(lab2, os.path.join(adir, "00002.png"), pal)
+        meta = {"videos": {name: {"objects": {
+            "1": {"frames": ["00000", "00002", "00004"]},
+            "3": {"frames": ["00002", "00004"]},
+        }}}}
+        with open(os.path.join(root, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+        model_cfg = ModelConfig(
+            backbone="resnet18", keydim=8, valdim=16, num_bases=4,
+            num_em_iters=2, topl=2, max_objs=4, mdim=16,
+        )
+        cfg = SWEMConfig(
+            model=model_cfg,
+            eval=EvalConfig(eval_set="YTVOS19", data_root=root, max_objs=4, ssize=64),
+            log_dir=str(tmp_path_factory.mktemp("logs2")),
+        )
+        model = SWEM(model_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 5)),
+        )
+        ev = Evaluator(cfg, variables)
+        fps = ev.evaluate_ytvos()
+        assert fps > 0
+        outs = sorted(os.listdir(os.path.join(ev.out_root, name)))
+        # only annotated frames are saved (names_to_save)
+        assert outs == ["00000.png", "00002.png", "00004.png"]
+        # saved ids are original annotation ids (1 and 3, never 2)
+        seen = set()
+        for png in outs:
+            seen |= set(np.unique(np.array(Image.open(os.path.join(ev.out_root, name, png)))))
+        assert seen <= {0, 1, 3}
+        # frame 2 must contain the injected object with original id 3
+        m2 = np.array(Image.open(os.path.join(ev.out_root, name, "00002.png")))
+        assert (m2 == 3).sum() > 0
