@@ -1,0 +1,172 @@
+"""Training orchestration (re-design of
+/root/reference/methods/basic_modules/basic_trainer.py:24-310 and
+methods/SWEM/swem_trainer.py:19-111).
+
+The jitted train step does all device work; this loop handles host concerns:
+the prefetching loader, batch sharding over the data-parallel mesh, meters +
+ETA logging, tensorboard scalars, and periodic orbax checkpoints of the full
+TrainState (+ an inference-variables checkpoint eval.py consumes directly).
+
+Curriculum note: the reference rebuilds its DataLoader at every skip
+boundary (basic_trainer.py:227-231); here the skip is a pure function of the
+iteration inside each worker, so no rebuilds exist.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swem_tpu.config import SWEMConfig
+from swem_tpu.data.factory import build_train_loader
+from swem_tpu.io.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    widen_value_encoder,
+)
+from swem_tpu.models.swem import SWEM
+from swem_tpu.parallel import make_mesh, replicate, shard_batch
+from swem_tpu.train.solver import make_optimizer, max_iter_for_stage
+from swem_tpu.train.trainer import TrainState, create_train_state, make_train_step
+from swem_tpu.utils import AvgMeter, mkdir, setup_logger
+
+
+class Trainer:
+    def __init__(self, cfg: SWEMConfig, logger=None):
+        self.cfg = cfg
+        self.exp_dir = os.path.join(
+            cfg.log_dir, cfg.model.model_name, cfg.solver.stage_name, cfg.exp_name
+        )
+        mkdir(self.exp_dir)
+        self.ckpt_dir = os.path.join(self.exp_dir, "checkpoints")
+        self.logger = logger or setup_logger("swem_train", self.exp_dir, "train_stage")
+        self.max_iter = max_iter_for_stage(cfg.solver)
+
+        self.model = SWEM(cfg.model)
+        n_devices = jax.device_count()
+        self.mesh = make_mesh()
+        self.tx, self.sched = make_optimizer(cfg.solver)
+        self.train_step = jax.jit(make_train_step(self.model, cfg, self.tx))
+
+        # init / resume
+        crop = cfg.data.vid_crop_size
+        sample_frame = jnp.zeros((1, crop[0], crop[1], 3), jnp.float32)
+        sample_mask = jnp.zeros((1, crop[0], crop[1], cfg.data.max_num_objs + 1), jnp.float32)
+        self.state = create_train_state(
+            self.model, jax.random.PRNGKey(cfg.data.seed), self.tx,
+            sample_frame, sample_mask,
+        )
+        if cfg.resume is not None:
+            self._resume(cfg.resume, from_scratch=cfg.from_scratch)
+        self.state = replicate(self.mesh, self.state)
+
+        nparams = sum(x.size for x in jax.tree.leaves(self.state.params))
+        self.logger.info(
+            f"SWEM trainer: stage {cfg.solver.stage_name}, {nparams / 1e6:.2f}M params, "
+            f"{n_devices} devices, global batch {cfg.data.batch_size}, "
+            f"max_iter {self.max_iter}"
+        )
+
+        self.writer = None
+        if jax.process_index() == 0:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(os.path.join(self.exp_dir, "tb"))
+            except ImportError:
+                pass
+
+    # ------------------------------------------------------------------ #
+    def _resume(self, resume_path: str, from_scratch: bool):
+        """Model (+solver unless from_scratch) restore with SO->MO surgery
+        (basic_trainer.py:118-139, methods/__init__.py:39-45)."""
+        state_path = os.path.join(resume_path, "state")
+        var_path = os.path.join(resume_path, "variables")
+        if not from_scratch and os.path.exists(state_path):
+            self.state = restore_checkpoint(state_path, jax.eval_shape(lambda: self.state))
+            self.logger.info(f"Resumed full state from {state_path} at step {int(self.state.step)}")
+            return
+        if resume_path.endswith((".pth", ".pt")):
+            from swem_tpu.io.torch_import import import_swem_checkpoint
+
+            variables = import_swem_checkpoint(resume_path)
+        else:
+            path = var_path if os.path.exists(var_path) else resume_path
+            abstract = jax.eval_shape(
+                lambda: {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            )
+            try:
+                variables = restore_checkpoint(path, abstract)
+            except Exception:
+                # shape mismatch: retry with single-object 4-channel conv1
+                abstract["params"]["value_encoder"]["trunk"]["conv1"]["kernel"] = (
+                    jax.ShapeDtypeStruct((7, 7, 4, 64), jnp.float32)
+                )
+                variables = restore_checkpoint(path, abstract)
+        params = widen_value_encoder(variables["params"])
+        self.state = TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", self.state.batch_stats),
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.logger.info(f"Loaded model weights from {resume_path}")
+
+    def save(self, step: int):
+        if jax.process_index() != 0:
+            return
+        save_checkpoint(os.path.join(self.ckpt_dir, "state"), jax.device_get(self.state))
+        save_checkpoint(
+            os.path.join(self.ckpt_dir, "variables"),
+            jax.device_get({"params": self.state.params, "batch_stats": self.state.batch_stats}),
+        )
+        self.logger.info(f"Saved checkpoint at iteration {step}")
+
+    # ------------------------------------------------------------------ #
+    def train(self):
+        cfg = self.cfg
+        start_iter = int(jax.device_get(self.state.step))
+        loader = build_train_loader(
+            cfg, start_iter=start_iter,
+            shard_id=jax.process_index(), num_shards=jax.process_count(),
+        )
+        meters = {k: AvgMeter(100) for k in ("total_loss", "main_loss", "aux_loss")}
+        rng = jax.random.PRNGKey(cfg.data.seed + 77)
+        t_start = time.perf_counter()
+        it = start_iter
+        batches = iter(loader)
+        try:
+            while it < self.max_iter:
+                batch = shard_batch(self.mesh, next(batches))
+                self.state, metrics = self.train_step(self.state, batch, rng)
+                it += 1
+                if it % cfg.log_period == 0 or it == self.max_iter:
+                    metrics = jax.device_get(metrics)
+                    for k, m in meters.items():
+                        m.update(float(metrics[k]))
+                    lr = float(self.sched(it))
+                    elapsed = time.perf_counter() - t_start
+                    rate = (it - start_iter) / max(elapsed, 1e-9)
+                    eta_h = (self.max_iter - it) / max(rate, 1e-9) / 3600
+                    self.logger.info(
+                        f"it {it}/{self.max_iter} "
+                        f"loss {meters['total_loss'].avg:.4f} "
+                        f"(main {meters['main_loss'].avg:.4f}, aux {meters['aux_loss'].avg:.4f}) "
+                        f"p {float(metrics['p']):.2f} lr {lr:.2e} "
+                        f"{rate:.2f} it/s eta {eta_h:.1f}h"
+                    )
+                    if self.writer is not None:
+                        for k, m in meters.items():
+                            self.writer.add_scalar(f"train/{k}", m.avg, it)
+                        self.writer.add_scalar("train/lr", lr, it)
+                if it % cfg.save_period == 0 or it == self.max_iter:
+                    self.save(it)
+        finally:
+            loader.close()
+        self.logger.info("Training done.")
+        return self.state

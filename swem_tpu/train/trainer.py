@@ -11,7 +11,7 @@ equivalent of swem_trainer.py:42-43).
 
 Batch layout (all channel-last):
   frames:    (B, T, H, W, 3) float in [0, 1]
-  masks:     (B, H, W, N+1) one-hot frame-0 ground truth
+  masks:     (B, T, H, W, N+1) one-hot ground truth (frame 0 seeds the memory)
   label:     (B, T, H, W) int32 argmax labels for all frames
   valid_obj: (B, N+1) float {0,1} validity incl. background channel
 """
@@ -105,7 +105,7 @@ def make_train_step(model: SWEM, cfg: SWEMConfig, tx) -> Callable:
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits = _unrolled_forward(
-                model, variables, batch["frames"], batch["masks"],
+                model, variables, batch["frames"], batch["masks"][:, 0],
                 batch["valid_obj"], mem_rng,
             )
             losses = criterion(

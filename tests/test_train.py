@@ -33,10 +33,11 @@ def make_batch(rng, B=2, T=3, H=32, W=32, N=2):
     masks[:, 18:28, 18:28, 0] = 0.0
     label = np.argmax(masks, axis=-1).astype(np.int32)
     label = np.repeat(label[:, None], T, axis=1)
+    masks_t = np.repeat(masks[:, None], T, axis=1)  # (B, T, H, W, N+1)
     valid_obj = np.ones((B, N + 1), np.float32)
     return {
         "frames": jnp.asarray(frames),
-        "masks": jnp.asarray(masks),
+        "masks": jnp.asarray(masks_t),
         "label": jnp.asarray(label),
         "valid_obj": jnp.asarray(valid_obj),
     }
@@ -50,7 +51,7 @@ def setup():
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
     state = create_train_state(
-        model, jax.random.PRNGKey(0), tx, batch["frames"][:, 0], batch["masks"]
+        model, jax.random.PRNGKey(0), tx, batch["frames"][:, 0], batch["masks"][:, 0]
     )
     step_fn = jax.jit(make_train_step(model, cfg, tx))
     return model, cfg, tx, state, step_fn, batch
