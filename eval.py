@@ -37,6 +37,9 @@ def get_args():
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--scales", type=int, nargs="+", default=[480],
+                   help="multi-scale inference (score averaging)")
+    p.add_argument("--flip", action="store_true", help="add flipped-input scores")
     p.add_argument("--davis_in_size", type=int, nargs=2, default=(480, 864),
                    metavar=("H", "W"),
                    help="fixed DAVIS inference size (debug/small-scale runs)")
@@ -56,6 +59,7 @@ def build_config(args):
         eval_set=args.eval_set, data_root=args.data_root, ssize=args.ssize,
         max_objs=args.max_objs, visualize=args.visualize, chunk=args.chunk,
         davis_in_size=tuple(args.davis_in_size),
+        scales=tuple(args.scales), flip=args.flip,
     )
     return SWEMConfig(model=model, eval=ev, solver=SolverConfig(stage=args.stage),
                       exp_name=args.exp_name, log_dir=args.log_dir, resume=args.resume)

@@ -157,6 +157,33 @@ def run_video(
     return preds
 
 
+def run_video_scores(
+    model: SWEM,
+    variables,
+    rng: jax.Array,
+    frames: jnp.ndarray,
+    init_mask: jnp.ndarray,
+    active: jnp.ndarray,
+    out_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Whole-video inference returning soft scores (multi-scale/flip eval).
+
+    Like ``run_video`` but stacks pred_mask (T-1, B, Ho, Wo, N+1); the
+    evaluator averages scores over scales/flips before the argmax
+    (swem_evaluator.py:34-57).
+    """
+    mem0 = init_memory(model, variables, rng, frames[0], init_mask, active)
+
+    def body(mem, frame):
+        mem, _, pred_mask = step(
+            model, variables, mem, frame, active, out_size, do_memorize=True
+        )
+        return mem, pred_mask
+
+    _, scores = jax.lax.scan(body, mem0, frames[1:])
+    return scores
+
+
 def make_jitted_video_runner(model: SWEM, out_size: Tuple[int, int]):
     """jit-compiled whole-video runner (donates nothing; frames stream in)."""
 

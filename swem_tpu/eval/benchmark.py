@@ -75,14 +75,71 @@ def read_result_masks(res_path: str, seq: str, mask_ids: Sequence[str],
     return out
 
 
-class DavisEvaluation:
-    """Semi-supervised DAVIS evaluation (evaluation.py:265-322).
+def read_proposal_masks(res_path: str, seq: str, mask_ids: Sequence[str]) -> np.ndarray:
+    """Read predictions as N-proposal masks (unsupervised task): one channel
+    per distinct id present in the PNGs."""
+    frames = []
+    max_id = 0
+    for mid in mask_ids:
+        p = os.path.join(res_path, seq, f"{mid}.png")
+        m = np.array(Image.open(p), np.uint8) if os.path.exists(p) else None
+        frames.append(m)
+        if m is not None:
+            max_id = max(max_id, int(m.max()))
+    shape = next(m.shape for m in frames if m is not None)
+    out = np.zeros((max_id, len(mask_ids)) + shape, bool)
+    for t, m in enumerate(frames):
+        if m is None:
+            continue
+        for n in range(max_id):
+            out[n, t] = m == (n + 1)
+    return out
 
-    First and last frames are excluded; per-object J and F series are
-    reduced with (mean, recall, decay).
+
+def evaluate_unsupervised(
+    gt: np.ndarray, proposals: np.ndarray, void: Optional[np.ndarray] = None,
+    metric=("J", "F"), max_n_proposals: int = 20,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Hungarian-matched multi-proposal evaluation (evaluation.py:64-83).
+
+    gt: (Ngt, T, H, W) bool; proposals: (Np, T, H, W) bool.
+    Returns per-gt-object (J, F) series after optimal proposal assignment.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    if proposals.shape[0] > max_n_proposals:
+        raise ValueError(
+            f"{proposals.shape[0]} proposals exceed the maximum {max_n_proposals}"
+        )
+    if proposals.shape[0] < gt.shape[0]:
+        pad = np.zeros((gt.shape[0] - proposals.shape[0],) + proposals.shape[1:], bool)
+        proposals = np.concatenate([proposals, pad], axis=0)
+    n_p, n_g, T = proposals.shape[0], gt.shape[0], gt.shape[1]
+    j = np.zeros((n_p, n_g, T))
+    f = np.zeros((n_p, n_g, T))
+    for g in range(n_g):
+        for p in range(n_p):
+            if "J" in metric:
+                j[p, g] = jaccard(gt[g], proposals[p], void)
+            if "F" in metric:
+                f[p, g] = boundary_f_frames(gt[g], proposals[p], void)
+    if "J" in metric and "F" in metric:
+        score = (j.mean(-1) + f.mean(-1)) / 2.0
+    else:
+        score = j.mean(-1) if "J" in metric else f.mean(-1)
+    rows, cols = linear_sum_assignment(-score)
+    return j[rows, cols], f[rows, cols]
+
+
+class DavisEvaluation:
+    """DAVIS evaluation (evaluation.py:265-322): semi-supervised (first/last
+    frames excluded) or unsupervised (Hungarian proposal matching).
+    Per-object J and F series are reduced with (mean, recall, decay).
     """
 
-    def __init__(self, davis_root: str, year: str = "2017", gt_set: str = "val"):
+    def __init__(self, davis_root: str, year: str = "2017", gt_set: str = "val",
+                 task: str = "semi-supervised"):
+        self.task = task
         self.dataset = DavisGT(davis_root, year=year, subset=gt_set)
 
     def evaluate(self, res_path: str, metric=("J", "F")) -> Dict:
@@ -92,12 +149,17 @@ class DavisEvaluation:
         }
         for seq in self.dataset.sequences:
             gt, void, ids = self.dataset.get_all_masks(seq)
-            gt, ids = gt[:, 1:-1], ids[1:-1]
-            pred = read_result_masks(res_path, seq, ids, gt.shape[0])
+            if self.task == "semi-supervised":
+                gt, ids = gt[:, 1:-1], ids[1:-1]
+                pred = read_result_masks(res_path, seq, ids, gt.shape[0])
+                j_series = f_series = None
+            else:
+                proposals = read_proposal_masks(res_path, seq, ids)
+                j_series, f_series = evaluate_unsupervised(gt, proposals, void, metric)
             for n in range(gt.shape[0]):
                 seq_name = f"{seq}_{n + 1}"
                 if "J" in metric:
-                    j = jaccard(gt[n], pred[n])
+                    j = j_series[n] if j_series is not None else jaccard(gt[n], pred[n])
                     M, R, D = statistics(j)
                     res["J"]["M"].append(M)
                     res["J"]["R"].append(R)
@@ -105,7 +167,7 @@ class DavisEvaluation:
                     res["J"]["M_per_object"][seq_name] = M
                     res["J"]["per_obj_frame"][seq_name] = j
                 if "F" in metric:
-                    f = boundary_f_frames(gt[n], pred[n])
+                    f = f_series[n] if f_series is not None else boundary_f_frames(gt[n], pred[n])
                     M, R, D = statistics(f)
                     res["F"]["M"].append(M)
                     res["F"]["R"].append(R)

@@ -87,6 +87,9 @@ class Evaluator:
     def evaluate_davis(self):
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
+        multi_scale = (
+            tuple(self.cfg.eval.scales) != (480,) or self.cfg.eval.flip
+        )
         for seq_idx, video in enumerate(self.dataset):
             T, Ho, Wo, _ = video.frames.shape
             out_dir = os.path.join(self.out_root, video.name)
@@ -94,14 +97,18 @@ class Evaluator:
             self.logger.info(f"Testing video {seq_idx}: {video.name} ({T} frames)")
 
             frames = jnp.asarray(video.frames)[:, None]  # (T, 1, H, W, 3)
-            in_frames = self._resize_davis(frames)
             init_mask = jnp.asarray(video.init_mask)[None]
             active = np.zeros((1, self.n_slots), bool)
             active[:, : video.n_objs] = True
-            runner = self._runner((Ho, Wo))
+            active = jnp.asarray(active)
 
             fps.tic()
-            preds = runner(self.variables, rng, in_frames, init_mask, jnp.asarray(active))
+            if multi_scale:
+                preds = self._run_multi_scale(rng, frames, init_mask, active, (Ho, Wo))
+            else:
+                in_frames = self._resize_davis(frames)
+                runner = self._runner((Ho, Wo))
+                preds = runner(self.variables, rng, in_frames, init_mask, active)
             fps.toc(T)
 
             first = np.argmax(video.init_mask, axis=-1).astype(np.uint8)
@@ -111,9 +118,54 @@ class Evaluator:
                 save_seg_mask(preds[t - 1, 0],
                               os.path.join(out_dir, f"{video.frame_names[t]}.png"),
                               self.davis_palette)
+            if self.cfg.eval.visualize:
+                self._save_overlays(video, preds, out_dir)
         fps.end()
         self.logger.info(f"fps: {fps.fps}")
         return fps.fps
+
+    def _run_multi_scale(self, rng, frames, init_mask, active, out_size):
+        """Multi-scale + flip score averaging (swem_evaluator.py:34-57)."""
+        from swem_tpu.engine import run_video_scores
+
+        base_h, base_w = self.cfg.eval.davis_in_size
+        total = None
+        scales = tuple(self.cfg.eval.scales)
+        for scale in scales:
+            h = scale
+            w = int(round(scale / base_h * base_w))
+            key = ("ms", (h, w), out_size)
+            if key not in self._runners:
+                self._runners[key] = jax.jit(
+                    lambda v, r, f, m, a, _h=h, _w=w: run_video_scores(
+                        self.model, v, r, resize(f, (_h, _w), "bicubic"),
+                        m, a, out_size,
+                    )
+                )
+            run = self._runners[key]
+            scores = np.asarray(run(self.variables, rng, frames, init_mask, active))
+            total = scores if total is None else total + scores
+            if self.cfg.eval.flip:
+                flipped = np.asarray(run(
+                    self.variables, rng, jnp.flip(frames, axis=-2),
+                    jnp.flip(init_mask, axis=-3), active,
+                ))
+                total = total + flipped[:, :, :, ::-1]
+        return np.argmax(total, axis=-1).astype(np.uint8)
+
+    def _save_overlays(self, video, preds, out_dir):
+        from swem_tpu.utils.visualization import save_overlay
+
+        overlay_dir = os.path.join(self.save_dir, "overlay", video.name)
+        mkdir(overlay_dir)
+        first = np.argmax(video.init_mask, axis=-1).astype(np.uint8)
+        save_overlay(video.frames[0], first,
+                     os.path.join(overlay_dir, f"{video.frame_names[0]}.png"),
+                     self.davis_palette)
+        for t in range(1, video.frames.shape[0]):
+            save_overlay(video.frames[t], preds[t - 1, 0],
+                         os.path.join(overlay_dir, f"{video.frame_names[t]}.png"),
+                         self.davis_palette)
 
     # ------------------------------------------------------------------ #
     def evaluate_ytvos(self):
