@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 def main():
     from swem_tpu.config import ModelConfig
-    from swem_tpu.engine import init_memory, step
+    from swem_tpu.engine import run_video
     from swem_tpu.models.swem import SWEM
 
     cfg = ModelConfig(dtype="bfloat16")
@@ -44,37 +44,31 @@ def main():
     active = jnp.ones((B, cfg.max_objs), bool)
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(frames_np[0]), init_mask)
-
-    def frame_step(variables, mem, frame, active):
-        new_mem, pred_idx, _ = step(
-            model, variables, mem, frame, active, (Ho, Wo), do_memorize=True
-        )
-        return new_mem, pred_idx
-
-    jit_step = jax.jit(frame_step, donate_argnums=(1,))
     frames = jnp.asarray(frames_np)
 
-    def run_once():
-        mem = init_memory(
-            model, variables, jax.random.PRNGKey(1), frames[0], init_mask, active
-        )
-        preds = []
-        for t in range(1, T):
-            mem, pred = jit_step(variables, mem, frames[t], active)
-            preds.append(pred)
-        # materialize on host: on this platform block_until_ready does not
-        # reliably synchronize, np.asarray does
-        return np.asarray(jnp.stack(preds))
+    @jax.jit
+    def run(variables, rng, frames, init_mask, active):
+        preds = run_video(model, variables, rng, frames, init_mask, active, (Ho, Wo))
+        # tiny checksum output: materializing it synchronizes the whole
+        # program without shipping the 40MB prediction stack across the
+        # host link (the reference's FPS also excludes the device->host
+        # copy: preds move to CPU only after fps.toc,
+        # basic_evaluator.py:171-177)
+        return preds, jnp.sum(preds.astype(jnp.int32))
 
-    run_once()  # compile + warmup
+    rng = jax.random.PRNGKey(1)
+    preds, chk = run(variables, rng, frames, init_mask, active)
+    _ = int(np.asarray(chk))  # compile + warmup sync
 
     fps_runs = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
-        out = run_once()
+        preds, chk = run(variables, rng, frames + 0.0001 * i, init_mask, active)
+        _ = int(np.asarray(chk))
         dt = time.perf_counter() - t0
         fps_runs.append((T - 1) / dt)
     fps = float(np.median(fps_runs))
+    out = np.asarray(preds)
     assert out.shape == (T - 1, B, Ho, Wo)
 
     baseline_fps = 36.0  # SWEM paper, 480p on V100

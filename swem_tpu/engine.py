@@ -89,7 +89,7 @@ def step(
     inject_mask/(B,Ho,Wo,N+1) + inject_new/(B,N): ground-truth masks for
     objects appearing at this frame (YTVOS, swem_evaluator.py:124-130).
 
-    Returns (mem, pred_idx (B,Ho,Wo) int32, pred_mask (B,Ho,Wo,N+1)).
+    Returns (mem, pred_idx (B,Ho,Wo) uint8, pred_mask (B,Ho,Wo,N+1)).
     """
     cfg = model.cfg
     qk16, qv16, s16, s8, s4 = model.apply(variables, frame, method="encode_key")
@@ -110,7 +110,8 @@ def step(
         pred_mask = jnp.where(ch_sel[:, None, None, :], inject_mask, pred_mask)
         active = jnp.logical_or(active, inject_new)
 
-    pred_idx = jnp.argmax(pred_mask, axis=-1).astype(jnp.int32)
+    # uint8: the slot budget is < 256 and predictions cross the host link
+    pred_idx = jnp.argmax(pred_mask, axis=-1).astype(jnp.uint8)
 
     if do_memorize:
         hard = hard_mask_from_pred(pred_mask)
@@ -139,7 +140,7 @@ def run_video(
     """Whole-video inference as one on-device ``lax.scan``.
 
     frames: (T, B, H, W, 3); init_mask: (B, Ho, Wo, N+1); active: (B, N).
-    Returns pred indices (T-1, B, Ho, Wo) int32 for frames 1..T-1.
+    Returns pred indices (T-1, B, Ho, Wo) uint8 for frames 1..T-1.
 
     Unlike the per-frame path, every frame (including the last) is memorized;
     the reference skips the final memorize purely as a speed optimization
@@ -204,7 +205,7 @@ def run_chunk(
 ) -> Tuple[em.VOSMemory, jnp.ndarray]:
     """Scan a fixed-size chunk of frames, carrying the memory.
 
-    frames: (C, B, H, W, 3). Returns (mem, preds (C, B, Ho, Wo) int32).
+    frames: (C, B, H, W, 3). Returns (mem, preds (C, B, Ho, Wo) uint8).
 
     Chunking keeps compilation independent of video length: full chunks run
     under one compiled scan, the remainder runs as single jitted steps
