@@ -67,7 +67,7 @@ def init_memory(
     em_masks = prepare_em_masks(init_mask, init_mask.astype(jnp.float32), (h, w))
     return em.memorize(
         mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
-        n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+        n_iters=cfg.num_em_iters, tau=cfg.em_tau, use_pallas=cfg.use_pallas,
     )
 
 
@@ -122,7 +122,7 @@ def step(
         em_masks = prepare_em_masks(hard, soft_in, (h, w))
         mem = em.memorize(
             mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
-            n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+            n_iters=cfg.num_em_iters, tau=cfg.em_tau, use_pallas=cfg.use_pallas,
         )
 
     return mem, pred_idx, pred_mask

@@ -176,6 +176,7 @@ def em_update(
     *,
     n_iters: int,
     tau: float,
+    use_pallas: bool = False,
 ) -> Bases:
     """One frame's Sequential Weighted EM update (modules.py:129-168).
 
@@ -202,9 +203,19 @@ def em_update(
                 weights = _w_step(xn, kappa, masks, tau)
         return z, kappa, zita
 
-    z, kappa, zita = jax.lax.stop_gradient(
-        _loop(x, masks, bases0.kappa, bases0.zita)
-    )
+    if use_pallas:
+        from swem_tpu.ops.em_pallas import em_loop_pallas
+
+        z, kappa, zita = jax.lax.stop_gradient(
+            em_loop_pallas(
+                x.astype(jnp.float32), masks, bases0.kappa, bases0.zita,
+                n_iters=n_iters, tau=tau,
+            )
+        )
+    else:
+        z, kappa, zita = jax.lax.stop_gradient(
+            _loop(x, masks, bases0.kappa, bases0.zita)
+        )
     zita0 = jax.lax.stop_gradient(bases0.zita)
     nu = (
         zita0 * bases0.nu
@@ -246,6 +257,7 @@ def memorize(
     *,
     n_iters: int,
     tau: float,
+    use_pallas: bool = False,
 ) -> VOSMemory:
     """EM-update from the latest bank and commit (modules.py:183-193).
 
@@ -253,7 +265,8 @@ def memorize(
     equals ``first`` (the reference warm-starts from ``first`` only while
     ``update`` is None, and they coincide at that point).
     """
-    bases = em_update(x, v, masks, mem.update, n_iters=n_iters, tau=tau)
+    bases = em_update(x, v, masks, mem.update, n_iters=n_iters, tau=tau,
+                      use_pallas=use_pallas)
     return memory_write(mem, bases, active)
 
 

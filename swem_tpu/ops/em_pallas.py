@@ -1,0 +1,187 @@
+"""Fused Pallas TPU kernel for the Sequential Weighted EM inner loop.
+
+Layout strategy: the query pixels x are SHARED by every object and branch,
+so all (object, branch) prototype blocks pack into one wide matmul axis —
+each E step is a single (P, Ck) @ (Ck, N*2*L) GEMM and each M step a single
+(Ck, P) @ (P, N*2*L) GEMM, keeping the MXU fed instead of looping small
+per-object matmuls. kappa/zita/weights stay VMEM-resident across all
+``n_iters`` iterations (the XLA path round-trips them through HBM between
+iterations).
+
+VMEM note: the (P, N*2*L) responsibility matrix would exceed the VMEM budget
+as a double-buffered output, so the kernel emits only the small tensors that
+determine the final z (the prototypes entering the last E step and the last
+pixel weights); the wrapper recomputes z with one XLA matmul.
+
+Per-block softmax/W-step reductions use static Python loops over the N*2
+L-sized column blocks (branch-probability coupling per object,
+modules.py:93-110). Semantics match em.py::_e_step/_m_step/_w_step.
+
+Status (measured on v5e, flagship shapes P=1620, Ck=L=128, N=2, f32):
+this kernel runs ~6.8ms standalone vs ~2.4ms for the XLA path — XLA's
+fusion + pipelining already handles these small-GEMM chains well, and the
+EM loop is <1ms inside the whole-video scan. The kernel therefore stays an
+experimental path behind ModelConfig.use_pallas (default False); it becomes
+interesting at larger L / object counts where the packed GEMMs grow.
+Note also that f32 matmul chains under tau=0.05 exponentials are chaotic:
+individual prototypes may diverge between backends while representing the
+same distribution (see tests/test_em_pallas.py tolerances).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _em_kernel(x_ref, masks_ref, kappa0_ref, zita0_ref,
+               kappa_ref, zita_ref, kprev_ref, wlast_ref,
+               *, n_iters: int, tau: float, n_objs: int, L: int):
+    x = x_ref[0]  # (P, Ck)
+    xinv = 1.0 / (jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + 1e-6)
+    kappa0 = kappa0_ref[0]  # (Ck, N2L), column blocks of L per (object, branch)
+    zita0 = zita0_ref[0]  # (1, N2L)
+    masks = masks_ref[0]  # (P, N2)
+    n2 = 2 * n_objs
+
+    def l2norm_cols(k):
+        return k / (jnp.sqrt(jnp.sum(k * k, axis=0, keepdims=True)) + 1e-6)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def blk(t, j):
+        return t[:, j * L:(j + 1) * L]
+
+    kappa = kappa0
+    weights = masks
+    kprev = kappa0
+    wlast = masks
+    for i in range(n_iters):
+        kprev = kappa
+        wlast = weights
+        # E step: one wide GEMM, per-block softmax over L, pixel weights
+        logits = dot(x, l2norm_cols(kappa)) / tau  # (P, N2L)
+        zs = []
+        for j in range(n2):
+            lj = blk(logits, j)
+            zj = jax.nn.softmax(lj, axis=-1) * weights[:, j][:, None]
+            zs.append(zj)
+        z = jnp.concatenate(zs, axis=-1)  # (P, N2L)
+        # M step: one wide GEMM, running weighted mean from carried stats
+        zita = zita0 + jnp.sum(z, axis=0, keepdims=True)
+        kappa = (zita0 * kappa0 + dot(x.T, z)) / zita
+        if i < n_iters - 1:
+            # W step: per-object branch-probability coupling
+            wl = dot(x, l2norm_cols(kappa)) * xinv / tau  # normalized logits
+            new_w = []
+            for n in range(n_objs):
+                l_bg = blk(wl, 2 * n)
+                l_fg = blk(wl, 2 * n + 1)
+                m = jnp.maximum(
+                    jnp.max(l_bg, axis=-1), jnp.max(l_fg, axis=-1)
+                )[:, None]
+                e_bg = jnp.sum(jnp.exp(l_bg - m), axis=-1)
+                e_fg = jnp.sum(jnp.exp(l_fg - m), axis=-1)
+                tot = e_bg + e_fg
+                new_w.append(masks[:, 2 * n] * (1.0 - e_bg / tot))
+                new_w.append(masks[:, 2 * n + 1] * (1.0 - e_fg / tot))
+            weights = jnp.stack(new_w, axis=-1)
+
+    kappa_ref[0] = kappa
+    zita_ref[0] = zita
+    kprev_ref[0] = kprev
+    wlast_ref[0] = wlast
+
+
+def em_loop_pallas(
+    x: jnp.ndarray,
+    masks: jnp.ndarray,
+    kappa0: jnp.ndarray,
+    zita0: jnp.ndarray,
+    *,
+    n_iters: int,
+    tau: float,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the fused EM loop. Shapes as in em.py (f32):
+
+    x (B, P, Ck); masks (B, N, 2, P); kappa0 (B, N, 2, Ck, L);
+    zita0 (B, N, 2, 1, L) -> (z (B,N,2,P,L), kappa, zita).
+    """
+    B, P, Ck = x.shape
+    N = masks.shape[1]
+    L = kappa0.shape[-1]
+    n2 = 2 * N
+    Pp = _round_up(P, 128)
+    x = x.astype(jnp.float32)
+    masks = masks.astype(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, Pp - P), (0, 0))) if Pp != P else x
+    # pack (N, 2, ...) into contiguous column blocks
+    masks_pk = jnp.swapaxes(masks.reshape(B, n2, P), -1, -2)  # (B, P, N2)
+    masks_pk = (
+        jnp.pad(masks_pk, ((0, 0), (0, Pp - P), (0, 0))) if Pp != P else masks_pk
+    )
+    kappa_pk = (
+        jnp.moveaxis(kappa0.astype(jnp.float32), 3, 1).reshape(B, Ck, n2 * L)
+    )  # (B, Ck, N2L) with column block j = (n, s)
+    zita_pk = zita0.astype(jnp.float32).reshape(B, 1, n2 * L)
+
+    kernel = functools.partial(
+        _em_kernel, n_iters=n_iters, tau=tau, n_objs=N, L=L
+    )
+    kappa, zita, kprev, wlast = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Pp, Ck), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp, n2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ck, n2 * L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n2 * L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Ck, n2 * L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n2 * L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ck, n2 * L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp, n2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ck, n2 * L), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, n2 * L), jnp.float32),
+            jax.ShapeDtypeStruct((B, Ck, n2 * L), jnp.float32),
+            jax.ShapeDtypeStruct((B, Pp, n2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, masks_pk, kappa_pk, zita_pk)
+
+    def unpack_k(t):  # (B, Ck, N2L) -> (B, N, 2, Ck, L)
+        return jnp.moveaxis(t.reshape(B, Ck, N, 2, L), 1, 3)
+
+    kappa = unpack_k(kappa)
+    kprev = unpack_k(kprev)
+    zita = zita.reshape(B, N, 2, 1, L)
+    wlast = jnp.swapaxes(wlast[:, :P], -1, -2).reshape(B, N, 2, P)
+
+    # final-iteration z, recomputed with one XLA matmul (E step on kprev/wlast)
+    kn = kprev / (jnp.linalg.norm(kprev, axis=-2, keepdims=True) + 1e-6)
+    logits = jnp.einsum(
+        "bpc,bnscl->bnspl", x, kn, precision=jax.lax.Precision.HIGHEST
+    )
+    z = jax.nn.softmax(logits / tau, axis=-1) * wlast[..., None]
+    return z, kappa, zita

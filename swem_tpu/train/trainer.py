@@ -71,6 +71,7 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
         qk16.reshape(B, h * w, -1).astype(jnp.float32),
         mv16.reshape(B, cfg.max_objs, h * w, -1).astype(jnp.float32),
         em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+        use_pallas=cfg.use_pallas,
     )
 
     logits_list = []
@@ -90,6 +91,7 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
                 qk16.reshape(B, h * w, -1).astype(jnp.float32),
                 mv16.reshape(B, cfg.max_objs, h * w, -1).astype(jnp.float32),
                 em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+                use_pallas=cfg.use_pallas,
             )
     return jnp.stack(logits_list, axis=1)
 

@@ -1,0 +1,66 @@
+"""Pallas EM kernel parity tests (interpret mode on CPU; the XLA em.py path
+is the oracle)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swem_tpu.models import em
+from swem_tpu.ops.em_pallas import em_loop_pallas
+from test_em import make_inputs
+
+
+def xla_loop(x, masks, kappa0, zita0, n_iters, tau):
+    """The reference XLA path's loop outputs (via em_update internals)."""
+    bases = em.em_update(
+        jnp.asarray(x), jnp.zeros((x.shape[0], masks.shape[1], x.shape[1], 4)),
+        jnp.asarray(masks),
+        em.Bases(jnp.asarray(kappa0),
+                 jnp.zeros(kappa0.shape[:3] + (4, kappa0.shape[-1])),
+                 jnp.asarray(zita0)),
+        n_iters=n_iters, tau=tau,
+    )
+    return bases.kappa, bases.zita
+
+
+@pytest.mark.parametrize("P", [48, 130])  # non-multiple-of-128 exercises padding
+@pytest.mark.parametrize("n_iters", [1, 4])
+def test_kernel_matches_xla(rng, P, n_iters):
+    x, v, masks, kappa0, nu0, zita0 = make_inputs(rng, B=2, N=2, P=P, Ck=16, Cv=8, L=8)
+    tau = 0.05
+    z, kappa, zita = em_loop_pallas(
+        jnp.asarray(x), jnp.asarray(masks), jnp.asarray(kappa0), jnp.asarray(zita0),
+        n_iters=n_iters, tau=tau, interpret=True,
+    )
+    ref_kappa, ref_zita = xla_loop(x, masks, kappa0, zita0, n_iters, tau)
+    # tau=0.05 exponentials amplify f32 reduction-order differences across
+    # iterations (see test_em.py); allow proportionally looser bounds
+    rtol, atol = (1e-4, 1e-5) if n_iters == 1 else (1e-2, 3e-4)
+    np.testing.assert_allclose(np.asarray(kappa), np.asarray(ref_kappa),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(zita), np.asarray(ref_zita),
+                               rtol=rtol, atol=atol)
+    assert z.shape == (2, 2, 2, P, 8)
+
+
+def test_em_update_pallas_flag(rng):
+    """em_update(use_pallas=True) == em_update(use_pallas=False) end to end."""
+    x, v, masks, kappa0, nu0, zita0 = make_inputs(rng, P=64, Ck=16, Cv=8, L=8)
+    bases0 = em.Bases(jnp.asarray(kappa0), jnp.asarray(nu0), jnp.asarray(zita0))
+    args = (jnp.asarray(x), jnp.asarray(v), jnp.asarray(masks), bases0)
+    ref = em.em_update(*args, n_iters=3, tau=0.05, use_pallas=False)
+    # interpret mode is reached through the pallas flag on CPU automatically
+    import swem_tpu.ops.em_pallas as k
+
+    orig = k.em_loop_pallas
+    k_interp = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    k.em_loop_pallas = k_interp
+    try:
+        got = em.em_update(*args, n_iters=3, tau=0.05, use_pallas=True)
+    finally:
+        k.em_loop_pallas = orig
+    np.testing.assert_allclose(np.asarray(got.kappa), np.asarray(ref.kappa),
+                               rtol=1e-2, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got.nu), np.asarray(ref.nu),
+                               rtol=1e-2, atol=3e-4)
