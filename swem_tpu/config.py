@@ -136,6 +136,7 @@ class SWEMConfig:
     log_dir: str = "logs"
     log_period: int = 100
     save_period: int = 5000
+    vis_period: int = 1000  # overlay image grids to tensorboard (0 = off)
     resume: Optional[str] = None
     from_scratch: bool = True
 

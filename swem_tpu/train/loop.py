@@ -52,6 +52,7 @@ class Trainer:
         self.mesh = make_mesh()
         self.tx, self.sched = make_optimizer(cfg.solver)
         self.train_step = jax.jit(make_train_step(self.model, cfg, self.tx))
+        self._predict = None  # lazily jitted visualization forward
 
         # init / resume
         crop = cfg.data.vid_crop_size
@@ -164,9 +165,35 @@ class Trainer:
                         for k, m in meters.items():
                             self.writer.add_scalar(f"train/{k}", m.avg, it)
                         self.writer.add_scalar("train/lr", lr, it)
+                if (cfg.vis_period and self.writer is not None
+                        and it % cfg.vis_period == 0):
+                    self._log_overlays(batch, rng, it)
                 if it % cfg.save_period == 0 or it == self.max_iter:
                     self.save(it)
         finally:
             loader.close()
         self.logger.info("Training done.")
         return self.state
+
+    # ------------------------------------------------------------------ #
+    def _log_overlays(self, batch, rng, it: int):
+        """Prediction-overlay image grids to tensorboard
+        (basic_trainer.py:259-282)."""
+        from swem_tpu.data.palette import davis_palette
+        from swem_tpu.train.trainer import make_predict_batch
+        from swem_tpu.utils.visualization import add_overlay
+
+        if self._predict is None:
+            self._predict = jax.jit(make_predict_batch(self.model, self.cfg))
+        preds = np.asarray(self._predict(self.state, batch, rng))  # (B, T-1, H, W)
+        frames = np.asarray(jax.device_get(batch["frames"]))
+        labels = np.asarray(jax.device_get(batch["label"]))
+        pal = davis_palette()
+        b = 0
+        panels = []
+        for t in range(preds.shape[1]):
+            img = (np.clip(frames[b, t + 1], 0, 1) * 255).astype(np.uint8)
+            panels.append(add_overlay(img[..., ::-1], preds[b, t], pal)[..., ::-1])
+            panels.append(add_overlay(img[..., ::-1], labels[b, t + 1], pal)[..., ::-1])
+        grid = np.concatenate(panels, axis=1)  # side-by-side pred|gt per frame
+        self.writer.add_image("train/pred_vs_gt", grid, it, dataformats="HWC")

@@ -127,3 +127,18 @@ def make_train_step(model: SWEM, cfg: SWEMConfig, tx) -> Callable:
         return new_state, losses
 
     return train_step
+
+
+def make_predict_batch(model: SWEM, cfg: SWEMConfig) -> Callable:
+    """Forward-only batch prediction for training visualization
+    (basic_trainer.py:259-282 overlay grids)."""
+
+    def predict(state: TrainState, batch, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = _unrolled_forward(
+            model, variables, batch["frames"], batch["masks"][:, 0],
+            batch["valid_obj"], rng,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)  # (B, T-1, H, W)
+
+    return predict

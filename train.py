@@ -54,6 +54,7 @@ def get_args():
     p.add_argument("--crop_size", type=int, default=384)
     p.add_argument("--log_period", type=int, default=100)
     p.add_argument("--save_period", type=int, default=5000)
+    p.add_argument("--vis_period", type=int, default=1000)
     return p.parse_args()
 
 
@@ -90,7 +91,7 @@ def build_config(args):
         model=model, data=data, solver=solver, loss=LossConfig(),
         exp_name=args.exp, log_dir=args.log_dir, resume=args.resume,
         from_scratch=args.from_scratch, log_period=args.log_period,
-        save_period=args.save_period,
+        save_period=args.save_period, vis_period=args.vis_period,
     )
     return single_object_config(cfg)
 
