@@ -117,6 +117,9 @@ class EvalConfig:
     # small-scale tests
     davis_in_size: Tuple[int, int] = (480, 864)
     chunk: int = 16  # scan chunk length for the DAVIS fast path
+    # videos evaluated together per device batch (throughput mode; the
+    # reference is strictly sequential B=1)
+    video_batch: int = 1
     visualize: bool = False
     max_objs: int = 8  # static object-slot budget at eval time
     flip: bool = False

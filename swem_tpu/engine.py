@@ -61,9 +61,14 @@ def init_memory(
     init_mask_in = resize(init_mask.astype(jnp.float32), in_size, "nearest")
     mv16 = model.apply(variables, frame0, init_mask_in, s16, method="encode_value")
     B, h, w, _ = qk16.shape
-    mem = em.fresh_memory(
-        rng, B, cfg.max_objs, cfg.keydim, cfg.valdim, cfg.num_bases
-    )
+    # The random prototype draw is shared across the batch so a video's
+    # result is independent of its batch position (video_batch throughput
+    # mode matches sequential mode up to f32 batched-conv reduction-order
+    # ties at the argmax). The draw only warm-starts the first EM update
+    # (zita=1e-6) and washes out against real data.
+    one = em.fresh_memory(rng, 1, cfg.max_objs, cfg.keydim, cfg.valdim, cfg.num_bases)
+    mem = jax.tree.map(lambda t: jnp.broadcast_to(t, (B,) + t.shape[1:])
+                       if t.ndim > 0 else t, one)
     em_masks = prepare_em_masks(init_mask, init_mask.astype(jnp.float32), (h, w))
     return em.memorize(
         mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,

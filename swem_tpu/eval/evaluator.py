@@ -85,6 +85,8 @@ class Evaluator:
         return self._runners[out_size]
 
     def evaluate_davis(self):
+        if self.cfg.eval.video_batch > 1:
+            return self.evaluate_davis_batched(self.cfg.eval.video_batch)
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
         multi_scale = (
@@ -122,6 +124,66 @@ class Evaluator:
                 self._save_overlays(video, preds, out_dir)
         fps.end()
         self.logger.info(f"fps: {fps.fps}")
+        return fps.fps
+
+    def evaluate_davis_batched(self, vb: int):
+        """Throughput mode: run ``vb`` videos per device batch.
+
+        Videos sharing an output size are grouped, padded to a common length
+        by repeating each video's final frame (extra predictions are
+        discarded; padded frames only touch their own video's memory), and
+        run through the chunked-scan runner with batch dim vb. A TPU-native
+        capability the strictly-sequential reference lacks — per-video
+        results are identical to the B=1 path.
+        """
+        fps = FrameSecondMeter()
+        rng = jax.random.PRNGKey(self.cfg.data.seed)
+        groups: Dict[tuple, list] = {}
+        for video in self.dataset:
+            groups.setdefault(video.frames.shape[1:3] + (video.init_mask.shape[:2]), []).append(video)
+
+        for key, videos in groups.items():
+            for i in range(0, len(videos), vb):
+                batch_videos = videos[i : i + vb]
+                B = len(batch_videos)
+                Ho, Wo = batch_videos[0].init_mask.shape[:2]
+                T_max = max(v.frames.shape[0] for v in batch_videos)
+                frames = np.stack([
+                    np.concatenate(
+                        [v.frames, np.repeat(v.frames[-1:], T_max - v.frames.shape[0], 0)]
+                    ) if v.frames.shape[0] < T_max else v.frames
+                    for v in batch_videos
+                ], axis=1)  # (T_max, B, H, W, 3)
+                init_mask = jnp.asarray(np.stack([v.init_mask for v in batch_videos]))
+                active = np.zeros((B, self.n_slots), bool)
+                for b, v in enumerate(batch_videos):
+                    active[b, : v.n_objs] = True
+                runner = self._runners.setdefault(
+                    ("batched", B, (Ho, Wo)),
+                    ChunkedVideoRunner(self.model, (Ho, Wo), chunk=self.cfg.eval.chunk),
+                )
+                in_frames = self._resize_davis(jnp.asarray(frames))
+                fps.tic()
+                preds = runner(self.variables, rng, in_frames, init_mask,
+                               jnp.asarray(active))
+                fps.toc(sum(v.frames.shape[0] for v in batch_videos))
+                for b, v in enumerate(batch_videos):
+                    out_dir = os.path.join(self.out_root, v.name)
+                    mkdir(out_dir)
+                    first = np.argmax(v.init_mask, axis=-1).astype(np.uint8)
+                    save_seg_mask(first, os.path.join(out_dir, f"{v.frame_names[0]}.png"),
+                                  self.davis_palette)
+                    for t in range(1, v.frames.shape[0]):
+                        save_seg_mask(
+                            preds[t - 1, b],
+                            os.path.join(out_dir, f"{v.frame_names[t]}.png"),
+                            self.davis_palette,
+                        )
+                self.logger.info(
+                    f"batch of {B} videos ({[v.name for v in batch_videos]}) done"
+                )
+        fps.end()
+        self.logger.info(f"fps (throughput, video_batch={vb}): {fps.fps}")
         return fps.fps
 
     def _run_multi_scale(self, rng, frames, init_mask, active, out_size):

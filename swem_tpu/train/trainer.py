@@ -40,7 +40,8 @@ class TrainState:
 
 
 def create_train_state(model: SWEM, rng: jax.Array, tx, sample_frame, sample_mask) -> TrainState:
-    variables = model.init(rng, sample_frame, sample_mask)
+    # jit the init: eager tracing of the full init forward is minutes on TPU
+    variables = jax.jit(model.init)(rng, sample_frame, sample_mask)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
