@@ -187,8 +187,19 @@ class Evaluator:
         return fps.fps
 
     def _run_multi_scale(self, rng, frames, init_mask, active, out_size):
-        """Multi-scale + flip score averaging (swem_evaluator.py:34-57)."""
+        """Multi-scale + flip score averaging (swem_evaluator.py:34-57).
+
+        Video length is padded to a 32-frame bucket (repeating the final
+        frame) so compilations are shared across videos; padded scores are
+        discarded.
+        """
         from swem_tpu.engine import run_video_scores
+
+        T = frames.shape[0]
+        bucket = ((T - 1 + 31) // 32) * 32 + 1
+        if bucket != T:
+            pad = jnp.repeat(frames[-1:], bucket - T, axis=0)
+            frames = jnp.concatenate([frames, pad], axis=0)
 
         base_h, base_w = self.cfg.eval.davis_in_size
         total = None
@@ -196,7 +207,7 @@ class Evaluator:
         for scale in scales:
             h = scale
             w = int(round(scale / base_h * base_w))
-            key = ("ms", (h, w), out_size)
+            key = ("ms", (h, w), out_size, bucket)
             if key not in self._runners:
                 self._runners[key] = jax.jit(
                     lambda v, r, f, m, a, _h=h, _w=w: run_video_scores(
@@ -205,13 +216,15 @@ class Evaluator:
                     )
                 )
             run = self._runners[key]
-            scores = np.asarray(run(self.variables, rng, frames, init_mask, active))
+            scores = np.asarray(
+                run(self.variables, rng, frames, init_mask, active)
+            )[: T - 1]
             total = scores if total is None else total + scores
             if self.cfg.eval.flip:
                 flipped = np.asarray(run(
                     self.variables, rng, jnp.flip(frames, axis=-2),
                     jnp.flip(init_mask, axis=-3), active,
-                ))
+                ))[: T - 1]
                 total = total + flipped[:, :, :, ::-1]
         return np.argmax(total, axis=-1).astype(np.uint8)
 

@@ -29,6 +29,16 @@ def save_checkpoint(path: str, state: Any) -> None:
 
 def restore_checkpoint(path: str, abstract_state: Any) -> Any:
     path = os.path.abspath(path)
+    # orbax on non-CPU backends requires concrete shardings on abstract
+    # leaves; default to single-device on the first local device
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+    def _with_sharding(leaf):
+        if isinstance(leaf, jax.ShapeDtypeStruct) and leaf.sharding is None:
+            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sharding)
+        return leaf
+
+    abstract_state = jax.tree.map(_with_sharding, abstract_state)
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, abstract_state)
 

@@ -26,10 +26,14 @@ def run_torch(x_nchw, size, mode):
 
 @pytest.mark.parametrize("mode", ["nearest", "bilinear", "bicubic"])
 @pytest.mark.parametrize("in_size,out_size", SIZES)
-def test_matches_torch(rng, mode, in_size, out_size):
+@pytest.mark.parametrize("via_matmul", [False, True])
+def test_matches_torch(rng, mode, in_size, out_size, via_matmul):
+    if via_matmul and mode == "nearest":
+        pytest.skip("nearest has no matmul path")
     x = rng.standard_normal((2, 3) + in_size).astype(np.float32)
     ref = run_torch(x, out_size, mode)
-    got = np.asarray(resize_nchw(jnp.asarray(x), out_size, mode))
+    xj = jnp.moveaxis(jnp.asarray(x), 1, -1)
+    got = np.moveaxis(np.asarray(resize(xj, out_size, mode, via_matmul)), -1, 1)
     # torch interpolates both axes in one fused kernel; we do separable
     # passes, so tiny FMA-ordering differences (<= ~3e-5) remain.
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
