@@ -51,11 +51,14 @@ def get_args():
 def build_config(args):
     from swem_tpu.config import EvalConfig, ModelConfig, SolverConfig, SWEMConfig
 
+    # DAVIS16 collapses mask ids in the dataset but still runs the
+    # multi-object model (the reference never flips MODEL.SINGLE_OBJ at
+    # eval time; basic_evaluator.py:51-52 only passes single_obj to the
+    # dataset reader)
     model = ModelConfig(
         model_name=args.model, backbone=args.backbone, keydim=args.key_dim,
         valdim=args.val_dim, num_bases=args.num_bases, num_em_iters=args.em_iters,
         em_tau=args.tau, topl=args.top_l, max_objs=args.max_objs, dtype=args.dtype,
-        single_object=(args.eval_set == "DAVIS16"),
     )
     ev = EvalConfig(
         eval_set=args.eval_set, data_root=args.data_root, ssize=args.ssize,

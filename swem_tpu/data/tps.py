@@ -14,6 +14,7 @@ torch breaks) by construction.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
 import cv2
@@ -40,6 +41,26 @@ def _k_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """U(r) = r^2 log(r^2 + eps) radial kernel (batch.py:8-26)."""
     d2 = np.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
     return d2 * np.log(d2 + 1e-9)
+
+
+@lru_cache(maxsize=8)
+def _eval_basis(size: Tuple[int, int], anchors: Tuple[int, int]):
+    """Per-(size, anchors) dense evaluation basis [P_eval | K(pts, X)].
+
+    The control grid X is fixed; only the jittered targets Y vary per
+    sample, so the expensive dense radial kernel is a constant — caching it
+    cuts the per-sample TPS cost from ~450ms to a couple of matmuls.
+    """
+    h, w = size
+    ny, nx = anchors
+    X = _grid_points_2d(nx, ny)
+    gx = np.linspace(-1.0, 1.0, w)
+    gy = np.linspace(-1.0, 1.0, h)
+    gyy, gxx = np.meshgrid(gy, gx, indexing="ij")
+    pts = np.stack([gxx, gyy], axis=-1).reshape(-1, 2)
+    P_eval = np.concatenate([np.ones((pts.shape[0], 1)), pts], axis=1)
+    basis = np.concatenate([P_eval, _k_matrix(pts, X)], axis=1)  # (HW, 3+k)
+    return basis.astype(np.float32)
 
 
 def tps_sample_grid(
@@ -69,14 +90,10 @@ def tps_sample_grid(
     Z[:k] = Y
     Q = np.linalg.solve(L, Z)
     W_, A = Q[:k], Q[k:]
-    # dense evaluation lattice (batch.py:115-133)
-    gx = np.linspace(-1.0, 1.0, w)
-    gy = np.linspace(-1.0, 1.0, h)
-    gyy, gxx = np.meshgrid(gy, gx, indexing="ij")
-    pts = np.stack([gxx, gyy], axis=-1).reshape(-1, 2)
-    P_eval = np.concatenate([np.ones((pts.shape[0], 1)), pts], axis=1)
-    grid = P_eval @ A + _k_matrix(pts, X) @ W_
-    return grid.reshape(h, w, 2).astype(np.float32)
+    # dense evaluation via the cached [P_eval | K] basis (batch.py:115-133)
+    coeffs = np.concatenate([A, W_], axis=0).astype(np.float32)  # (3+k, 2)
+    grid = _eval_basis((h, w), (ny, nx)) @ coeffs
+    return grid.reshape(h, w, 2)
 
 
 def grid_to_maps(grid: np.ndarray, size: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:

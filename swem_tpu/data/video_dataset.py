@@ -14,7 +14,6 @@ skip boundaries (basic_trainer.py:227-231 made unnecessary).
 
 from __future__ import annotations
 
-import math
 import os
 from typing import List, Optional, Sequence, Tuple
 

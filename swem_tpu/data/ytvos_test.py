@@ -19,7 +19,7 @@ from typing import Dict, Iterator, List
 
 import numpy as np
 
-from swem_tpu.data.davis_test import load_image, load_label, to_onehot
+from swem_tpu.data.davis_test import load_image, load_label
 
 
 def suit_size(size: int, ratio: int = 16) -> int:

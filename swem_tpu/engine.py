@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from swem_tpu.config import ModelConfig
 from swem_tpu.models import em
 from swem_tpu.models.swem import (
     SWEM,

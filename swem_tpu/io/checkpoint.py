@@ -13,7 +13,7 @@ methods/__init__.py:39-45, basic_trainer.py:125-131).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Object-axis convention: all multi-object tensors are padded to a static
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

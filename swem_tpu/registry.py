@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Type
+from typing import Dict
 
 TRAINERS: Dict[str, type] = {}
 EVALUATORS: Dict[str, type] = {}
