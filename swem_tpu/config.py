@@ -38,6 +38,10 @@ class ModelConfig:
     dtype: str = "float32"
     # Use fused Pallas kernels for the EM inner loop / memory read when True.
     use_pallas: bool = False
+    # Gaussian locality reweighting of the memory read (modules.py:210-230;
+    # inference-only, off by default in the reference: n_kernel=0)
+    n_kernel: int = 0
+    kernel_sigma: float = 7.0
 
     @property
     def topl_eff(self) -> int:

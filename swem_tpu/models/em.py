@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -306,6 +306,30 @@ def _perm_inv_feat(exp_aff: jnp.ndarray, topl: int) -> jnp.ndarray:
     return jnp.concatenate([ratio, 1.0 - ratio], axis=-1)
 
 
+def _gaussian_kernels(aff: jnp.ndarray, hw: Tuple[int, int], n_kernel: int,
+                      sigma: float, tau: float) -> jnp.ndarray:
+    """Gaussian locality reweighting (modules.py:210-230, inference-only).
+
+    For each prototype, place Gaussians at its top-``n_kernel`` query pixels
+    and reweight every pixel by exp(max_kernel / tau).
+    aff: (B, N, 2, Lm, P) raw affinities. Returns (B, N, 2, Lm, P).
+    """
+    h, w = hw
+    _, top_idx = jax.lax.top_k(aff, n_kernel)  # (B,N,2,Lm,k) over pixels
+    x_idx = (top_idx % w).astype(jnp.float32)  # (..., k)
+    y_idx = ((top_idx // w) % h).astype(jnp.float32)
+    P = aff.shape[-1]
+    pix = jnp.arange(P)
+    xv = (pix % w).astype(jnp.float32)  # (P,)
+    yv = ((pix // w) % h).astype(jnp.float32)
+    d2 = (
+        (xv[:, None] - x_idx[..., None, :]) ** 2
+        + (yv[:, None] - y_idx[..., None, :]) ** 2
+    )  # (B,N,2,Lm,P,k)
+    gauss = -d2 / (2.0 * sigma ** 2)
+    return jnp.exp(jnp.max(gauss, axis=-1) / tau)
+
+
 def read_memory(
     qk: jnp.ndarray,
     mk: jnp.ndarray,
@@ -314,13 +338,18 @@ def read_memory(
     *,
     tau: float,
     topl: int,
+    n_kernel: int = 0,
+    sigma: float = 7.0,
+    hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Attention-style memory read (modules.py:232-293, default path).
+    """Attention-style memory read (modules.py:232-293).
 
     qk: (B, P, Ck) raw query keys (l2-normalized here, modules.py:282)
     mk: (B, N, 2, Ck, Lm) raw prototypes (l2-normalized here)
     mv: (B, N, 2, Cv, Lm)
     base_valid: (B, N, 2, Lm) bool
+    n_kernel/sigma/hw: optional Gaussian locality reweighting of the
+    affinity softmax (modules.py:253-256; inference-only, off by default).
 
     Returns (mem_out, S): mem_out (B, N, P, Cv) value read;
     S (B, N, P, 2*topl) permutation-invariant feature.
@@ -340,8 +369,15 @@ def read_memory(
     exp_aff = jnp.where(
         base_valid[..., None], jnp.exp((aff - maxes) / tau), 0.0
     )
-    denom = jnp.sum(exp_aff, axis=(2, 3), keepdims=True)
-    p_aff = exp_aff / (denom + 1e-30)
+    if n_kernel > 0:
+        assert hw is not None, "hw=(h16,w16) required for kernel reweighting"
+        gauss = _gaussian_kernels(aff, hw, n_kernel, sigma, tau)
+        weighted = exp_aff * gauss
+        denom = jnp.sum(weighted, axis=(2, 3), keepdims=True)
+        p_aff = weighted / (denom + 1e-8)  # modules.py:256 epsilon
+    else:
+        denom = jnp.sum(exp_aff, axis=(2, 3), keepdims=True)
+        p_aff = exp_aff / (denom + 1e-30)
     mem_out = _einsum(
         "bnsvl,bnslp->bnpv", mv, p_aff)
     S = _perm_inv_feat(exp_aff, topl)

@@ -95,6 +95,7 @@ class SWEM(nn.Module):
         mem_out, S = em.read_memory(
             qk_flat, mk, mv, base_valid,
             tau=self.cfg.em_tau, topl=self.cfg.topl_eff,
+            n_kernel=self.cfg.n_kernel, sigma=self.cfg.kernel_sigma, hw=(h, w),
         )
         Cv = mem_out.shape[-1]
         qv = jnp.broadcast_to(

@@ -220,3 +220,35 @@ class TestLossesAgainstReference:
             jnp.asarray(target.astype(np.int32)), None,
         ))
         np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+class TestGaussianKernels:
+    def test_kernelized_read_matches_reference(self, rng):
+        """n_kernel > 0 path == reference gen_kernels + kernelized p_aff."""
+        ref = _load_ref("ref_modules", "methods/SWEM/modules.py")
+        SWEMCore, torch_l2norm = ref.SWEMCore, ref.l2norm
+
+        B, N, P, Ck, Cv, L, topl = 1, 2, 120, 16, 8, 8, 4
+        h, w = 10, 12
+        qk = rng.standard_normal((B, Ck, P)).astype(np.float64)
+        mk = rng.standard_normal((B, N, 2, Ck, L)).astype(np.float64)
+        mv = rng.standard_normal((B, N, 2, Cv, L)).astype(np.float64)
+        core = SWEMCore(n_bases=L, valdim=Cv, n_iters=2, tau=0.05, topl=topl)
+        core.eval()
+        with torch.no_grad():
+            qk_t = torch_l2norm(torch.from_numpy(qk.reshape(B, Ck, h, w)), dim=1)
+            mk_t = torch_l2norm(torch.from_numpy(mk), dim=-2)
+            S, mem_out = core.get_affinity(
+                qk_t, mk_t, torch.from_numpy(mv), n_kernel=3, sigma=7
+            )
+        with jax.enable_x64(True):
+            ours_out, ours_S = em.read_memory(
+                jnp.asarray(qk).transpose(0, 2, 1),
+                jnp.asarray(mk), jnp.asarray(mv),
+                jnp.ones((B, N, 2, L), bool), tau=0.05, topl=topl,
+                n_kernel=3, sigma=7.0, hw=(h, w),
+            )
+            np.testing.assert_allclose(
+                np.asarray(ours_out).transpose(0, 1, 3, 2).reshape(B, N, Cv, h, w),
+                mem_out.numpy(), rtol=1e-7, atol=1e-9,
+            )
