@@ -33,6 +33,9 @@ def get_args():
     p.add_argument("--tau", type=float, default=0.05)
     p.add_argument("--top_l", type=int, default=64)
     p.add_argument("--max_objs", type=int, default=8)
+    p.add_argument("--n_kernel", type=int, default=0,
+                   help="Gaussian locality reweighting kernels (0 = off)")
+    p.add_argument("--sigma", type=float, default=7.0)
     p.add_argument("--stage", type=int, default=3)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--chunk", type=int, default=16)
@@ -59,6 +62,7 @@ def build_config(args):
         model_name=args.model, backbone=args.backbone, keydim=args.key_dim,
         valdim=args.val_dim, num_bases=args.num_bases, num_em_iters=args.em_iters,
         em_tau=args.tau, topl=args.top_l, max_objs=args.max_objs, dtype=args.dtype,
+        n_kernel=args.n_kernel, kernel_sigma=args.sigma,
     )
     ev = EvalConfig(
         eval_set=args.eval_set, data_root=args.data_root, ssize=args.ssize,

@@ -77,12 +77,22 @@ class Evaluator:
         self._resize_davis = jax.jit(lambda f: resize(f, in_size, "bicubic"))
 
     # ------------------------------------------------------------------ #
-    def _runner(self, out_size) -> ChunkedVideoRunner:
-        if out_size not in self._runners:
-            self._runners[out_size] = ChunkedVideoRunner(
-                self.model, out_size, chunk=self.cfg.eval.chunk
-            )
-        return self._runners[out_size]
+    def _runner(self, out_size, batch: int = 1) -> ChunkedVideoRunner:
+        key = (out_size, batch)
+        if key not in self._runners:
+            runner = ChunkedVideoRunner(self.model, out_size, chunk=self.cfg.eval.chunk)
+            # warm up: compile init + chunk scan + tail step outside the FPS
+            # span (XLA compilation would otherwise be billed to video 0;
+            # the reference's CUDA warmup cost is negligible by comparison)
+            h, w = self.cfg.eval.davis_in_size
+            dummy_frames = jnp.zeros((runner.chunk + 2, batch, h, w, 3), jnp.float32)
+            dummy_mask = jnp.zeros((batch,) + tuple(out_size) + (self.n_slots + 1,),
+                                   jnp.float32)
+            dummy_active = jnp.zeros((batch, self.n_slots), bool)
+            runner(self.variables, jax.random.PRNGKey(0), dummy_frames,
+                   dummy_mask, dummy_active)
+            self._runners[key] = runner
+        return self._runners[key]
 
     def evaluate_davis(self):
         if self.cfg.eval.video_batch > 1:
@@ -158,10 +168,7 @@ class Evaluator:
                 active = np.zeros((B, self.n_slots), bool)
                 for b, v in enumerate(batch_videos):
                     active[b, : v.n_objs] = True
-                runner = self._runners.setdefault(
-                    ("batched", B, (Ho, Wo)),
-                    ChunkedVideoRunner(self.model, (Ho, Wo), chunk=self.cfg.eval.chunk),
-                )
+                runner = self._runner((Ho, Wo), batch=B)
                 in_frames = self._resize_davis(jnp.asarray(frames))
                 fps.tic()
                 preds = runner(self.variables, rng, in_frames, init_mask,
