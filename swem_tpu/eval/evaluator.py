@@ -251,10 +251,17 @@ class Evaluator:
 
     # ------------------------------------------------------------------ #
     def evaluate_ytvos(self):
+        """YTVOS inference: chunked scans between object-injection frames.
+
+        Most videos have every object at frame 0, so the whole video runs
+        as on-device scan chunks; injection frames (and chunk tails) run as
+        single jitted steps (swem_evaluator.py:104-148 semantics).
+        """
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
         jit_init = jax.jit(partial(init_memory, self.model))
-        step_cache: Dict[tuple, callable] = {}
+        step_cache: Dict[tuple, dict] = {}
+        chunk_len = self.cfg.eval.chunk
 
         for seq_idx, video in enumerate(self.dataset):
             T = video.frames.shape[0]
@@ -268,6 +275,8 @@ class Evaluator:
 
             key = (video.frames.shape[1:3], (Ho, Wo))
             if key not in step_cache:
+                from swem_tpu.engine import run_chunk
+
                 step_cache[key] = {
                     "plain": jax.jit(
                         lambda v, mem, f, a: step(
@@ -280,6 +289,12 @@ class Evaluator:
                             self.model, v, mem, f, a, (Ho, Wo), do_memorize=True,
                             inject_mask=im, inject_new=inew,
                         )[:2],
+                        donate_argnums=(1,),
+                    ),
+                    "chunk": jax.jit(
+                        lambda v, mem, f, a: run_chunk(
+                            self.model, v, mem, f, a, (Ho, Wo)
+                        ),
                         donate_argnums=(1,),
                     ),
                 }
@@ -297,7 +312,8 @@ class Evaluator:
             fps.tic()
             mem = jit_init(self.variables, rng, frames[0], init_mask, active)
             all_preds = []
-            for t in range(1, T):
+            t = 1
+            while t < T:
                 inj = video.injections.get(t)
                 if inj is not None:
                     inew = np.zeros((1, self.n_slots), bool)
@@ -307,9 +323,23 @@ class Evaluator:
                         jnp.asarray(inj["mask"])[None], jnp.asarray(inew),
                     )
                     active = jnp.logical_or(active, jnp.asarray(inew))
-                else:
+                    all_preds.append(np.asarray(pred, dtype=np.uint8)[0])
+                    t += 1
+                    continue
+                # plain segment until the next injection frame
+                seg_end = min(
+                    [i for i in video.injections if i > t] + [T]
+                )
+                while t + chunk_len <= seg_end:
+                    mem, preds = fns["chunk"](
+                        self.variables, mem, frames[t : t + chunk_len], active
+                    )
+                    all_preds.extend(np.asarray(preds, dtype=np.uint8)[:, 0])
+                    t += chunk_len
+                while t < seg_end:
                     mem, pred = fns["plain"](self.variables, mem, frames[t], active)
-                all_preds.append(np.asarray(pred, dtype=np.uint8)[0])
+                    all_preds.append(np.asarray(pred, dtype=np.uint8)[0])
+                    t += 1
             fps.toc(T)
 
             # save frame 0 (original ids)

@@ -203,7 +203,8 @@ class TestEvaluatorE2E:
         )
         cfg = SWEMConfig(
             model=model_cfg,
-            eval=EvalConfig(eval_set="YTVOS19", data_root=root, max_objs=4, ssize=64),
+            eval=EvalConfig(eval_set="YTVOS19", data_root=root, max_objs=4, ssize=64,
+                            chunk=2),  # exercise the chunked segment path
             log_dir=str(tmp_path_factory.mktemp("logs2")),
         )
         model = SWEM(model_cfg)
