@@ -198,6 +198,8 @@ class StaticTrainDataset:
         ims, gts = synthesis_frames(rng, ims, gts, self.num_frames)
         aimgs, agts = self.aug(rng, ims, gts)
         out = finalize_sample(rng, aimgs, agts, self.max_objs)
+        if out is not None:
+            out["skips"] = np.float32(0.0)
         if out is None:  # all-background (static_dataset.py:283-289 analogue)
             T_, H, W = len(aimgs), *aimgs[0].shape[:2]
             onehot = np.zeros((T_, H, W, self.max_objs + 1), np.float32)
@@ -209,5 +211,6 @@ class StaticTrainDataset:
                 "masks": onehot,
                 "valid_obj": valid,
                 "label": np.zeros((T_, H, W), np.int32),
+                "skips": np.float32(0.0),
             }
         return out

@@ -209,6 +209,8 @@ class VideoTrainDataset:
         cur_skip = self.skipper(cur_iter)
         for _ in range(5):
             sel = sorted(select_frames(rng, len(frames), self.num_frames, cur_skip))
+            gaps = [sel[i + 1] - sel[i] for i in range(len(sel) - 1)]
+            skips = float(np.mean(gaps) - 1.0) if gaps else 0.0
             if rng.random() < 0.5:
                 sel = sel[::-1]  # time reversal (video_dataset.py:262-264)
             imgs, gts = [], []
@@ -221,6 +223,8 @@ class VideoTrainDataset:
             aimgs, agts = self.aug(rng, imgs, gts)
             out = finalize_sample(rng, aimgs, agts, self.max_objs)
             if out is not None:
+                # mean sampled frame gap - 1 (TB skip stat, video_dataset.py:347)
+                out["skips"] = np.float32(skips)
                 return out
         # all-background fallback (video_dataset.py:320-323)
         T_, H, W = len(aimgs), *aimgs[0].shape[:2]
@@ -233,4 +237,5 @@ class VideoTrainDataset:
             "masks": onehot,
             "valid_obj": valid,
             "label": np.zeros((T_, H, W), np.int32),
+            "skips": np.float32(skips),
         }

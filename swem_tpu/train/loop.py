@@ -141,7 +141,9 @@ class Trainer:
         batches = iter(loader)
         try:
             while it < self.max_iter:
-                batch = shard_batch(self.mesh, next(batches))
+                batch = next(batches)
+                skips = float(np.mean(batch.pop("skips"))) if "skips" in batch else None
+                batch = shard_batch(self.mesh, batch)
                 self.state, metrics = self.train_step(self.state, batch, rng)
                 it += 1
                 if it % cfg.log_period == 0 or it == self.max_iter:
@@ -163,6 +165,8 @@ class Trainer:
                         for k, m in meters.items():
                             self.writer.add_scalar(f"train/{k}", m.avg, it)
                         self.writer.add_scalar("train/lr", lr, it)
+                        if skips is not None:
+                            self.writer.add_scalar("train/mean_skip", skips, it)
                 if (cfg.vis_period and self.writer is not None
                         and it % cfg.vis_period == 0):
                     self._log_overlays(batch, rng, it)
