@@ -77,18 +77,39 @@ class Evaluator:
         self._resize_davis = jax.jit(lambda f: resize(f, in_size, "bicubic"))
 
     # ------------------------------------------------------------------ #
-    def _runner(self, out_size, batch: int = 1) -> ChunkedVideoRunner:
-        key = (out_size, batch)
+    def _slot_bucket(self, n_objs: int) -> int:
+        """Smallest power-of-two slot budget covering the video's objects.
+
+        The reference runs exactly n objects per video (dynamic shapes); we
+        compile one program per {2, 4, 8, ...} bucket instead of paying the
+        full static budget's per-object towers on every video.
+        """
+        b = 2
+        while b < n_objs:
+            b *= 2
+        return min(b, self.n_slots) if n_objs <= self.n_slots else self.n_slots
+
+    def _model_for(self, n_slots: int) -> SWEM:
+        if n_slots == self.model.cfg.max_objs:
+            return self.model
+        import dataclasses
+
+        return SWEM(dataclasses.replace(self.model.cfg, max_objs=n_slots))
+
+    def _runner(self, out_size, batch: int = 1, n_slots: int = None) -> ChunkedVideoRunner:
+        n_slots = n_slots or self.n_slots
+        key = (out_size, batch, n_slots)
         if key not in self._runners:
-            runner = ChunkedVideoRunner(self.model, out_size, chunk=self.cfg.eval.chunk)
+            runner = ChunkedVideoRunner(self._model_for(n_slots), out_size,
+                                        chunk=self.cfg.eval.chunk)
             # warm up: compile init + chunk scan + tail step outside the FPS
             # span (XLA compilation would otherwise be billed to video 0;
             # the reference's CUDA warmup cost is negligible by comparison)
             h, w = self.cfg.eval.davis_in_size
             dummy_frames = jnp.zeros((runner.chunk + 2, batch, h, w, 3), jnp.float32)
-            dummy_mask = jnp.zeros((batch,) + tuple(out_size) + (self.n_slots + 1,),
+            dummy_mask = jnp.zeros((batch,) + tuple(out_size) + (n_slots + 1,),
                                    jnp.float32)
-            dummy_active = jnp.zeros((batch, self.n_slots), bool)
+            dummy_active = jnp.zeros((batch, n_slots), bool)
             runner(self.variables, jax.random.PRNGKey(0), dummy_frames,
                    dummy_mask, dummy_active)
             self._runners[key] = runner
@@ -109,20 +130,26 @@ class Evaluator:
             self.logger.info(f"Testing video {seq_idx}: {video.name} ({T} frames)")
 
             frames = jnp.asarray(video.frames)[:, None]  # (T, 1, H, W, 3)
-            init_mask = jnp.asarray(video.init_mask)[None]
-            active = np.zeros((1, self.n_slots), bool)
+            bucket = self._slot_bucket(video.n_objs)
+            init_mask = jnp.asarray(video.init_mask[..., : bucket + 1])[None]
+            active = np.zeros((1, bucket), bool)
             active[:, : video.n_objs] = True
             active = jnp.asarray(active)
 
             if multi_scale:
+                init_full = jnp.asarray(video.init_mask)[None]
+                act_full = np.zeros((1, self.n_slots), bool)
+                act_full[:, : video.n_objs] = True
                 fps.tic()
-                preds = self._run_multi_scale(rng, frames, init_mask, active, (Ho, Wo))
+                preds = self._run_multi_scale(
+                    rng, frames, init_full, jnp.asarray(act_full), (Ho, Wo)
+                )
                 fps.toc(T)
             else:
                 # runner creation (compile/warmup) and the fixed-size input
                 # resize sit outside the timed span, like the reference
                 # (resize at basic_evaluator.py:160, tic at :171)
-                runner = self._runner((Ho, Wo))
+                runner = self._runner((Ho, Wo), n_slots=bucket)
                 in_frames = self._resize_davis(frames)
                 np.asarray(in_frames[0, 0, 0, 0])  # sync fence, no bulk copy
                 fps.tic()
