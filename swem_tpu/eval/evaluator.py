@@ -292,7 +292,7 @@ class Evaluator:
         """
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
-        jit_init = jax.jit(partial(init_memory, self.model))
+        init_cache: Dict[int, callable] = {}
         step_cache: Dict[tuple, dict] = {}
         chunk_len = self.cfg.eval.chunk
 
@@ -301,32 +301,38 @@ class Evaluator:
             Ho, Wo = video.original_size
             out_dir = os.path.join(self.out_root, video.name)
             mkdir(out_dir)
+            bucket = self._slot_bucket(video.n_objs)
+            model = self._model_for(bucket)
             self.logger.info(
                 f"Testing video {seq_idx}: {video.name} ({T} frames, "
-                f"in {video.frames.shape[1:3]}, out {video.original_size})"
+                f"in {video.frames.shape[1:3]}, out {video.original_size}, "
+                f"{video.n_objs} objs -> {bucket} slots)"
             )
 
-            key = (video.frames.shape[1:3], (Ho, Wo))
+            if bucket not in init_cache:
+                init_cache[bucket] = jax.jit(partial(init_memory, model))
+            jit_init = init_cache[bucket]
+            key = (video.frames.shape[1:3], (Ho, Wo), bucket)
             if key not in step_cache:
                 from swem_tpu.engine import run_chunk
 
                 step_cache[key] = {
                     "plain": jax.jit(
-                        lambda v, mem, f, a: step(
-                            self.model, v, mem, f, a, (Ho, Wo), do_memorize=True
+                        lambda v, mem, f, a, _m=model: step(
+                            _m, v, mem, f, a, (Ho, Wo), do_memorize=True
                         )[:2],
                         donate_argnums=(1,),
                     ),
                     "inject": jax.jit(
-                        lambda v, mem, f, a, im, inew: step(
-                            self.model, v, mem, f, a, (Ho, Wo), do_memorize=True,
+                        lambda v, mem, f, a, im, inew, _m=model: step(
+                            _m, v, mem, f, a, (Ho, Wo), do_memorize=True,
                             inject_mask=im, inject_new=inew,
                         )[:2],
                         donate_argnums=(1,),
                     ),
                     "chunk": jax.jit(
-                        lambda v, mem, f, a: run_chunk(
-                            self.model, v, mem, f, a, (Ho, Wo)
+                        lambda v, mem, f, a, _m=model: run_chunk(
+                            _m, v, mem, f, a, (Ho, Wo)
                         ),
                         donate_argnums=(1,),
                     ),
@@ -334,8 +340,8 @@ class Evaluator:
             fns = step_cache[key]
 
             frames = jnp.asarray(video.frames)[:, None]
-            init_mask = jnp.asarray(video.init_mask)[None]
-            active = np.zeros((1, self.n_slots), bool)
+            init_mask = jnp.asarray(video.init_mask[..., : bucket + 1])[None]
+            active = np.zeros((1, bucket), bool)
             # slots 0..n0-1 are the objects injected at frame 0 (slot order
             # follows appearance order by construction)
             n0 = int(video.init_mask[..., 1:].sum(axis=(0, 1)).astype(bool).sum())
@@ -349,11 +355,12 @@ class Evaluator:
             while t < T:
                 inj = video.injections.get(t)
                 if inj is not None:
-                    inew = np.zeros((1, self.n_slots), bool)
+                    inew = np.zeros((1, bucket), bool)
                     inew[:, inj["new_slots"]] = True
                     mem, pred = fns["inject"](
                         self.variables, mem, frames[t], active,
-                        jnp.asarray(inj["mask"])[None], jnp.asarray(inew),
+                        jnp.asarray(inj["mask"][..., : bucket + 1])[None],
+                        jnp.asarray(inew),
                     )
                     active = jnp.logical_or(active, jnp.asarray(inew))
                     all_preds.append(np.asarray(pred, dtype=np.uint8)[0])
