@@ -17,11 +17,18 @@ import numpy as np
 from PIL import Image
 
 
-def load_image(path: str, size=None) -> np.ndarray:
-    """RGB float32 [0,1], optional (h, w) bicubic resize (data_utils.py:96-116)."""
+def load_image(path: str, size=None, as_uint8: bool = False) -> np.ndarray:
+    """RGB float32 [0,1], optional (h, w) bicubic resize (data_utils.py:96-116).
+
+    ``as_uint8`` (only valid without a host resize) returns raw uint8 so the
+    /255 conversion happens on-device — 4x less host->device traffic.
+    """
     img = cv2.imread(path)
     assert img is not None, f"image {path} not found"
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if as_uint8:
+        assert size is None, "uint8 loading skips the host-side resize"
+        return img
     img = np.asarray(img, np.float32) / 255.0
     if size is not None:
         img = cv2.resize(img, (size[1], size[0]), interpolation=cv2.INTER_CUBIC)
@@ -47,7 +54,7 @@ def to_onehot(label: np.ndarray, n_channels: int) -> np.ndarray:
 @dataclass
 class DavisVideo:
     name: str
-    frames: np.ndarray  # (T, H, W, 3) float32 [0,1] original resolution
+    frames: np.ndarray  # (T, H, W, 3) uint8 original resolution
     init_mask: np.ndarray  # (Ho, Wo, n_slots+1) one-hot float32
     n_objs: int
     frame_names: List[str]
@@ -79,7 +86,7 @@ class DavisTestSet:
         if self.single_obj:
             label0 = (label0 > 0).astype(np.uint8)
         n_objs = int(label0.max())
-        frames = np.stack([load_image(p) for p in img_list])
+        frames = np.stack([load_image(p, as_uint8=True) for p in img_list])
         init_mask = to_onehot(label0, self.n_slots + 1)
         frame_names = [os.path.splitext(os.path.basename(p))[0] for p in img_list]
         return DavisVideo(

@@ -74,7 +74,11 @@ class Evaluator:
             raise ValueError(f"{self.eval_set} is unsupported")
 
         in_size = tuple(cfg.eval.davis_in_size)
-        self._resize_davis = jax.jit(lambda f: resize(f, in_size, "bicubic"))
+        # frames arrive uint8 (4x smaller host->device transfer); the /255
+        # conversion runs on-device before the bicubic resize
+        self._resize_davis = jax.jit(
+            lambda f: resize(f.astype(jnp.float32) / 255.0, in_size, "bicubic")
+        )
 
     # ------------------------------------------------------------------ #
     def _slot_bucket(self, n_objs: int) -> int:
@@ -251,7 +255,8 @@ class Evaluator:
             if key not in self._runners:
                 self._runners[key] = jax.jit(
                     lambda v, r, f, m, a, _h=h, _w=w: run_video_scores(
-                        self.model, v, r, resize(f, (_h, _w), "bicubic"),
+                        self.model, v, r,
+                        resize(f.astype(jnp.float32) / 255.0, (_h, _w), "bicubic"),
                         m, a, out_size,
                     )
                 )
