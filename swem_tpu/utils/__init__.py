@@ -110,3 +110,26 @@ def pad_divide_by(shape, d: int = 16):
     """Padded size (next multiple of d) for (h, w) (utils/__init__.py:27-53)."""
     h, w = shape
     return ((h + d - 1) // d * d, (w + d - 1) // d * d)
+
+
+def save_scripts(exp_dir: str, src_root: Optional[str] = None) -> str:
+    """Snapshot the package source into the experiment directory for
+    reproducibility (utils/__init__.py save_scripts equivalent)."""
+    import shutil
+
+    src_root = src_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(exp_dir, "scripts_snapshot")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(
+        src_root, dst,
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "logs", ".git"),
+    )
+    return dst
+
+
+def count_model_size(params) -> float:
+    """Parameter count in millions (utils/__init__.py count_model_size)."""
+    import jax
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params)) / 1e6
