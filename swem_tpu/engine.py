@@ -229,14 +229,19 @@ class ChunkedVideoRunner:
     """Compile-once-per-(chunk,out_size) whole-video inference.
 
     Avoids both per-frame dispatch overhead and per-video-length
-    recompilation: frames 1..T-1 are processed in fixed-size scan chunks
-    with a variable-length Python tail of single steps.
+    recompilation: frames 1..T-1 are processed in fixed-size scan chunks.
+    The final partial chunk is padded by repeating the last frame and its
+    extra predictions discarded — padded frames only touch the post-video
+    memory, which is never read again (``pad_tail=False`` switches to exact
+    per-frame tail steps for callers that keep using the memory).
     """
 
-    def __init__(self, model: SWEM, out_size: Tuple[int, int], chunk: int = 16):
+    def __init__(self, model: SWEM, out_size: Tuple[int, int], chunk: int = 16,
+                 pad_tail: bool = True):
         self.model = model
         self.out_size = out_size
         self.chunk = chunk
+        self.pad_tail = pad_tail
         self._init = jax.jit(
             lambda v, r, f, m, a: init_memory(model, v, r, f, m, a)
         )
@@ -261,8 +266,16 @@ class ChunkedVideoRunner:
             mem, p = self._chunk(variables, mem, frames[t : t + self.chunk], active)
             preds.append(np.asarray(p, dtype=np.uint8))
             t += self.chunk
-        while t < T:
-            mem, p = self._step(variables, mem, frames[t], active)
-            preds.append(np.asarray(p, dtype=np.uint8)[None])
-            t += 1
+        remaining = T - t
+        if remaining > 0:
+            if self.pad_tail:
+                pad = jnp.repeat(frames[-1:], self.chunk - remaining, axis=0)
+                tail = jnp.concatenate([frames[t:], pad], axis=0)
+                mem, p = self._chunk(variables, mem, tail, active)
+                preds.append(np.asarray(p, dtype=np.uint8)[:remaining])
+            else:
+                while t < T:
+                    mem, p = self._step(variables, mem, frames[t], active)
+                    preds.append(np.asarray(p, dtype=np.uint8)[None])
+                    t += 1
         return np.concatenate(preds, axis=0)
