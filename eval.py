@@ -76,22 +76,10 @@ def build_config(args):
 
 
 def load_variables(cfg, resume: str):
-    import jax
-    import jax.numpy as jnp
+    """Checkpoint loading incl. single-object -> multi-object surgery."""
+    from swem_tpu.registry import load_variables as _load
 
-    from swem_tpu.models.swem import SWEM
-
-    if resume.endswith((".pth", ".pt")):
-        from swem_tpu.io.torch_import import import_swem_checkpoint
-
-        return import_swem_checkpoint(resume)
-    from swem_tpu.io.checkpoint import restore_params
-
-    model = SWEM(dataclasses.replace(cfg.model, max_objs=cfg.eval.max_objs))
-    frame = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    mask = jnp.zeros((1, 64, 64, cfg.eval.max_objs + 1), jnp.float32)
-    abstract = jax.eval_shape(model.init, jax.random.PRNGKey(0), frame, mask)
-    return restore_params(resume, abstract)
+    return _load(cfg, resume, max_objs=cfg.eval.max_objs)
 
 
 def main():

@@ -108,6 +108,12 @@ class YTVOSTestSet:
             new_slots = []
             for obj_id in entry["ids"]:
                 slot = len(slot_to_orig)
+                if slot >= self.n_slots:
+                    # graceful degradation instead of an IndexError mid-run;
+                    # raise n_slots to cover such videos
+                    print(f"WARNING: {name}: object {obj_id} exceeds the "
+                          f"{self.n_slots}-slot budget and is skipped")
+                    continue
                 slot_to_orig.append(obj_id)
                 mask[..., slot + 1] = (label == obj_id).astype(np.float32)
                 new_slots.append(slot)

@@ -260,6 +260,9 @@ class ChunkedVideoRunner:
         frames = jnp.asarray(frames)
         T = frames.shape[0]
         mem = self._init(variables, rng, frames[0], init_mask, active)
+        if T == 1:  # only the annotated frame: nothing to predict
+            B = frames.shape[1]
+            return np.zeros((0, B) + tuple(self.out_size), np.uint8)
         preds = []
         t = 1
         while t + self.chunk <= T:

@@ -107,7 +107,9 @@ class Trainer:
                     jax.ShapeDtypeStruct((7, 7, 4, 64), jnp.float32)
                 )
                 variables = restore_checkpoint(path, abstract)
-        params = widen_value_encoder(variables["params"])
+        params = variables["params"]
+        if not self.cfg.model.single_object:
+            params = widen_value_encoder(params)
         self.state = TrainState(
             params=params,
             batch_stats=variables.get("batch_stats", self.state.batch_stats),

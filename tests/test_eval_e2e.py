@@ -225,3 +225,28 @@ class TestEvaluatorE2E:
         # frame 2 must contain the injected object with original id 3
         m2 = np.array(Image.open(os.path.join(ev.out_root, name, "00002.png")))
         assert (m2 == 3).sum() > 0
+
+    def test_multi_scale_flip_runs(self, fake_davis, tmp_path_factory):
+        """Multi-scale + flip path completes and writes every frame."""
+        from swem_tpu.eval.evaluator import Evaluator
+        from swem_tpu.models.swem import SWEM
+
+        model_cfg = ModelConfig(
+            backbone="resnet18", keydim=8, valdim=16, num_bases=4,
+            num_em_iters=2, topl=2, max_objs=4, mdim=16,
+        )
+        cfg = SWEMConfig(
+            model=model_cfg,
+            eval=EvalConfig(eval_set="DAVIS17", data_root=fake_davis, max_objs=4,
+                            davis_in_size=(64, 96), scales=(64, 48), flip=True),
+            log_dir=str(tmp_path_factory.mktemp("logs_ms")),
+        )
+        model = SWEM(model_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), jnp.zeros((1, H, W, 5)),
+        )
+        ev = Evaluator(cfg, variables)
+        fps = ev.evaluate_davis()
+        assert fps > 0
+        for name in ("vid0", "vid1"):
+            assert len(os.listdir(os.path.join(ev.out_root, name))) == 5
