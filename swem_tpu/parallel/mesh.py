@@ -39,8 +39,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with its leading axis sharded."""
+    """Device-put a host batch pytree with its leading axis sharded.
+
+    Single-host: a plain device_put. Multi-host: each process holds only its
+    per-host slice (the loader shards by process), so the global array is
+    assembled from process-local data.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
