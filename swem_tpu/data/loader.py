@@ -29,10 +29,15 @@ def _worker_init(dataset_factory):
     _WORKER_DATASET = dataset_factory()
 
 
+def sample_with_rng(dataset, idx: int, seed: int, it: int):
+    """The loader's determinism contract: one RNG per (seed, iter, index)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, it, idx]))
+    return dataset.sample(rng, idx, it)
+
+
 def _worker_sample(args):
     idx, seed, it = args
-    rng = np.random.default_rng(np.random.SeedSequence([seed, it, idx]))
-    return _WORKER_DATASET.sample(rng, idx, it)
+    return sample_with_rng(_WORKER_DATASET, idx, seed, it)
 
 
 class EpochShuffler:
@@ -150,5 +155,4 @@ class TrainLoader:
 
 def _collect(dataset, args):
     idx, seed, it = args
-    rng = np.random.default_rng(np.random.SeedSequence([seed, it, idx]))
-    return dataset.sample(rng, idx, it)
+    return sample_with_rng(dataset, idx, seed, it)

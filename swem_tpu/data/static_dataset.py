@@ -204,8 +204,9 @@ class StaticTrainDataset:
             T_, H, W = len(aimgs), *aimgs[0].shape[:2]
             onehot = np.zeros((T_, H, W, self.max_objs + 1), np.float32)
             onehot[..., 0] = 1.0
+            # one empty fg channel stays valid (reference selector=[1,1,0])
             valid = np.zeros(self.max_objs + 1, np.float32)
-            valid[0] = 1.0
+            valid[:2] = 1.0
             out = {
                 "frames": np.stack(aimgs).astype(np.float32),
                 "masks": onehot,

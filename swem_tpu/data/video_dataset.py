@@ -230,8 +230,10 @@ class VideoTrainDataset:
         T_, H, W = len(aimgs), *aimgs[0].shape[:2]
         onehot = np.zeros((T_, H, W, self.max_objs + 1), np.float32)
         onehot[..., 0] = 1.0
+        # the reference marks one (empty) fg channel valid so the sample
+        # still trains the decoder toward all-background (selector=[1,1,0])
         valid = np.zeros(self.max_objs + 1, np.float32)
-        valid[0] = 1.0
+        valid[:2] = 1.0
         return {
             "frames": np.stack(aimgs).astype(np.float32),
             "masks": onehot,

@@ -189,16 +189,6 @@ def run_video_scores(
     return scores
 
 
-def make_jitted_video_runner(model: SWEM, out_size: Tuple[int, int]):
-    """jit-compiled whole-video runner (donates nothing; frames stream in)."""
-
-    @partial(jax.jit, static_argnames=())
-    def _run(variables, rng, frames, init_mask, active):
-        return run_video(model, variables, rng, frames, init_mask, active, out_size)
-
-    return _run
-
-
 def run_chunk(
     model: SWEM,
     variables,

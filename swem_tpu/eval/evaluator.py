@@ -124,6 +124,11 @@ class Evaluator:
 
     def evaluate_davis(self):
         if self.cfg.eval.video_batch > 1:
+            if tuple(self.cfg.eval.scales) != (480,) or self.cfg.eval.flip:
+                raise ValueError(
+                    "video_batch > 1 does not support multi-scale/flip eval; "
+                    "drop --video_batch or --scales/--flip"
+                )
             return self.evaluate_davis_batched(self.cfg.eval.video_batch)
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)

@@ -264,7 +264,16 @@ def memorize(
     The warm start is always the ``update`` bank: after the first memorize it
     equals ``first`` (the reference warm-starts from ``first`` only while
     ``update`` is None, and they coincide at that point).
+
+    Masks are gated by ``active``: a not-yet-appeared object's bg channel
+    would otherwise be all-ones (prepare_em_masks on a zero mask channel),
+    accumulating stale statistics the reference never sees — it random-inits
+    a new object's bases at its first annotated frame (modules.py:140-146).
+    Gating keeps inactive slots at their fresh random init until activation.
+    (Training is unaffected: inactive slots contribute no loss or gradient
+    either way.)
     """
+    masks = masks * active[:, :, None, None].astype(masks.dtype)
     bases = em_update(x, v, masks, mem.update, n_iters=n_iters, tau=tau,
                       use_pallas=use_pallas)
     return memory_write(mem, bases, active)

@@ -77,7 +77,15 @@ def load_variables(cfg, path: str, max_objs: int = None) -> dict:
         mask = jnp.zeros((1, 64, 64, model_cfg.max_objs + 1), jnp.float32)
         abstract = jax.eval_shape(model.init, jax.random.PRNGKey(0), frame, mask)
         sub = os.path.join(path, "variables")
-        variables = restore_params(sub if os.path.exists(sub) else path, abstract)
+        target = sub if os.path.exists(sub) else path
+        try:
+            variables = restore_params(target, abstract)
+        except Exception:
+            # single-object checkpoint: 4-input-channel value-encoder conv1
+            abstract["params"]["value_encoder"]["trunk"]["conv1"]["kernel"] = (
+                jax.ShapeDtypeStruct((7, 7, 4, 64), jnp.float32)
+            )
+            variables = restore_params(target, abstract)
     if not cfg.model.single_object:
         variables = dict(variables)
         variables["params"] = widen_value_encoder(variables["params"])

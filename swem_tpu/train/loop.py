@@ -170,7 +170,11 @@ class Trainer:
                         if skips is not None:
                             self.writer.add_scalar("train/mean_skip", skips, it)
                 if (cfg.vis_period and self.writer is not None
+                        and jax.process_count() == 1
                         and it % cfg.vis_period == 0):
+                    # single-host only: the jitted viz forward over a
+                    # globally-sharded batch would be a collective that only
+                    # process 0 enters
                     self._log_overlays(batch, rng, it)
                 if it % cfg.save_period == 0 or it == self.max_iter:
                     self.save(it)

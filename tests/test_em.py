@@ -273,3 +273,27 @@ class TestReadMemory:
         )
         assert np.all(np.isfinite(np.asarray(mem_out)))
         assert np.all(np.isfinite(np.asarray(S)))
+
+
+class TestActiveGating:
+    def test_inactive_slot_ignores_bg_ones_masks(self, rng):
+        """prepare_em_masks gives inactive (all-zero) mask channels bg=1;
+        memorize must gate them by `active` so not-yet-appeared objects keep
+        their fresh random init until activation (the reference random-inits
+        at the first annotated frame, modules.py:140-146)."""
+        x, v, masks, *_ = make_inputs(rng)
+        B, N = masks.shape[:2]
+        masks = masks.copy()
+        masks[:, 1, 0] = 1.0  # bg channel all-ones for the inactive slot
+        masks[:, 1, 1] = 0.0
+        key = jax.random.PRNGKey(5)
+        mem = em.fresh_memory(key, B, N, x.shape[-1], v.shape[-1], 8)
+        active = jnp.asarray(np.array([[True, False]] * B))
+        mem1 = em.memorize(mem, jnp.asarray(x), jnp.asarray(v), jnp.asarray(masks),
+                           active, n_iters=3, tau=0.05)
+        np.testing.assert_allclose(mem1.update.kappa[:, 1], mem.update.kappa[:, 1],
+                                   atol=1e-7)
+        np.testing.assert_allclose(mem1.update.zita[:, 1], mem.update.zita[:, 1],
+                                   atol=1e-7)
+        # the active slot still updates normally
+        assert not np.allclose(mem1.update.kappa[:, 0], mem.update.kappa[:, 0])
