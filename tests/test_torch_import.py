@@ -163,3 +163,39 @@ class TestSurgery:
             np.asarray(k[..., :4, :]),
             np.asarray(params["value_encoder"]["trunk"]["conv1"]["kernel"]),
         )
+
+
+class TestSingleObjectCheckpointLoad:
+    def test_registry_loads_so_orbax_into_mo_model(self, tmp_path):
+        """A stage-0 single-object orbax checkpoint restores into the
+        multi-object model via the 4-channel retry + conv1 widening."""
+        import jax
+        import jax.numpy as jnp
+
+        from swem_tpu.config import EvalConfig, SWEMConfig
+        from swem_tpu.io.checkpoint import save_params
+        from swem_tpu.registry import load_variables
+
+        so_cfg = ModelConfig(backbone="resnet18", keydim=8, valdim=16,
+                             num_bases=4, num_em_iters=2, topl=2, max_objs=1,
+                             mdim=16, single_object=True)
+        so_model = SWEM(so_cfg)
+        so_vars = so_model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 2)))
+        assert so_vars["params"]["value_encoder"]["trunk"]["conv1"]["kernel"].shape[2] == 4
+        ckpt = str(tmp_path / "so_ckpt")
+        save_params(ckpt, so_vars)
+
+        mo_cfg = SWEMConfig(
+            model=ModelConfig(backbone="resnet18", keydim=8, valdim=16,
+                              num_bases=4, num_em_iters=2, topl=2, max_objs=2,
+                              mdim=16),
+            eval=EvalConfig(max_objs=2),
+        )
+        variables = load_variables(mo_cfg, ckpt, max_objs=2)
+        k = variables["params"]["value_encoder"]["trunk"]["conv1"]["kernel"]
+        assert k.shape[2] == 5  # widened
+        np.testing.assert_array_equal(
+            np.asarray(k[..., :4, :]),
+            np.asarray(so_vars["params"]["value_encoder"]["trunk"]["conv1"]["kernel"]),
+        )
