@@ -66,7 +66,9 @@ def main():
         preds, chk = run(variables, rng, frames + 0.0001 * i, init_mask, active)
         _ = int(np.asarray(chk))
         dt = time.perf_counter() - t0
-        fps_runs.append((T - 1) / dt)
+        # the reference counts all T frames for the same timed span
+        # (fps.toc(frame_n), basic_evaluator.py:176)
+        fps_runs.append(T / dt)
     fps = float(np.median(fps_runs))
     out = np.asarray(preds)
     assert out.shape == (T - 1, B, Ho, Wo)

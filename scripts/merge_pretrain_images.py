@@ -18,6 +18,13 @@ from glob import glob
 
 
 def _copy_pairs(imgs, msks, out_root, name):
+    if len(imgs) != len(msks):
+        raise ValueError(f"{name}: {len(imgs)} images vs {len(msks)} masks")
+    for im, mk in zip(imgs, msks):
+        stem_i = os.path.splitext(os.path.basename(im))[0]
+        stem_m = os.path.splitext(os.path.basename(mk))[0]
+        if stem_i != stem_m:
+            raise ValueError(f"{name}: mispaired {im} vs {mk}")
     img_dir = os.path.join(out_root, "JPEGImages", name)
     msk_dir = os.path.join(out_root, "Annotations", name)
     os.makedirs(img_dir, exist_ok=True)

@@ -17,15 +17,12 @@ from PIL import Image
 
 
 def _resize_pair(args):
+    from swem_tpu.data.transforms import resize_short_side
+
     src, dst, is_mask = args
     img = Image.open(src)
     img.load()
-    w, h = img.size
-    if h < w:
-        nh, nw = 480, 480 * w // h
-    else:
-        nw, nh = 480, 480 * h // w
-    img = img.resize((nw, nh), Image.NEAREST if is_mask else Image.BICUBIC)
+    img = resize_short_side(img, 480, Image.NEAREST if is_mask else Image.BICUBIC)
     img.save(dst)
 
 

@@ -25,11 +25,14 @@ class DavisGT:
     """DAVIS ground-truth reader (davis.py:14-115)."""
 
     def __init__(self, root: str, year: str = "2017", subset: str = "val",
-                 resolution: str = "480p", sequences="all"):
+                 resolution: str = "480p", sequences="all",
+                 task: str = "semi-supervised"):
         self.root = root
         self.year = str(year)
         self.img_path = os.path.join(root, "JPEGImages", resolution)
-        self.mask_path = os.path.join(root, "Annotations", resolution)
+        # the unsupervised task has its own annotation folder (davis.py:33)
+        ann = "Annotations" if task == "semi-supervised" else "Annotations_unsupervised"
+        self.mask_path = os.path.join(root, ann, resolution)
         imageset = os.path.join(root, "ImageSets", self.year, f"{subset}.txt")
         if sequences == "all":
             with open(imageset) as f:
@@ -57,14 +60,23 @@ class DavisGT:
 
 
 def read_result_masks(res_path: str, seq: str, mask_ids: Sequence[str],
-                      n_objects: int) -> np.ndarray:
+                      n_objects: int, shape=None) -> np.ndarray:
     """Read predicted PNGs into per-object bool masks (results.py:14-43).
 
     Missing/short predictions are zero-padded like the reference
-    (evaluation.py:52-55).
+    (evaluation.py:52-55). ``shape`` is the fallback frame shape when even
+    the first prediction is absent.
     """
-    first = np.array(Image.open(os.path.join(res_path, seq, f"{mask_ids[0]}.png")), np.uint8)
-    out = np.zeros((n_objects, len(mask_ids)) + first.shape, bool)
+    first_path = next(
+        (os.path.join(res_path, seq, f"{m}.png") for m in mask_ids
+         if os.path.exists(os.path.join(res_path, seq, f"{m}.png"))),
+        None,
+    )
+    if first_path is not None:
+        shape = np.array(Image.open(first_path), np.uint8).shape
+    elif shape is None:
+        raise FileNotFoundError(f"no predictions for sequence {seq} in {res_path}")
+    out = np.zeros((n_objects, len(mask_ids)) + tuple(shape), bool)
     for t, mid in enumerate(mask_ids):
         p = os.path.join(res_path, seq, f"{mid}.png")
         if not os.path.exists(p):
@@ -86,7 +98,9 @@ def read_proposal_masks(res_path: str, seq: str, mask_ids: Sequence[str]) -> np.
         frames.append(m)
         if m is not None:
             max_id = max(max_id, int(m.max()))
-    shape = next(m.shape for m in frames if m is not None)
+    shape = next((m.shape for m in frames if m is not None), None)
+    if shape is None:
+        raise FileNotFoundError(f"no proposal PNGs for sequence {seq} in {res_path}")
     out = np.zeros((max_id, len(mask_ids)) + shape, bool)
     for t, m in enumerate(frames):
         if m is None:
@@ -140,7 +154,7 @@ class DavisEvaluation:
     def __init__(self, davis_root: str, year: str = "2017", gt_set: str = "val",
                  task: str = "semi-supervised"):
         self.task = task
-        self.dataset = DavisGT(davis_root, year=year, subset=gt_set)
+        self.dataset = DavisGT(davis_root, year=year, subset=gt_set, task=task)
 
     def evaluate(self, res_path: str, metric=("J", "F")) -> Dict:
         res: Dict[str, Dict] = {
@@ -151,7 +165,8 @@ class DavisEvaluation:
             gt, void, ids = self.dataset.get_all_masks(seq)
             if self.task == "semi-supervised":
                 gt, ids = gt[:, 1:-1], ids[1:-1]
-                pred = read_result_masks(res_path, seq, ids, gt.shape[0])
+                pred = read_result_masks(res_path, seq, ids, gt.shape[0],
+                                         shape=gt.shape[2:])
                 j_series = f_series = None
             else:
                 proposals = read_proposal_masks(res_path, seq, ids)

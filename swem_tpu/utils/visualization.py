@@ -28,8 +28,9 @@ def _to_uint8_bgr(img: np.ndarray) -> np.ndarray:
 
 
 def binary_dilation3(mask: np.ndarray) -> np.ndarray:
-    """3x3 binary dilation (scipy.ndimage.binary_dilation default)."""
-    k = np.ones((3, 3), np.uint8)
+    """4-connected binary dilation (scipy.ndimage.binary_dilation default
+    cross structuring element, used by the reference's contour overlay)."""
+    k = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.uint8)
     return cv2.dilate(mask.astype(np.uint8), k).astype(bool)
 
 
@@ -54,11 +55,14 @@ def save_overlay(img_rgb: np.ndarray, mask: np.ndarray, path: str, palette,
 
 
 def save_heatmap(path: str, img_rgb: np.ndarray, heat: np.ndarray,
-                 alpha: float = 0.3) -> None:
-    """JET-colormap heat overlay (visualization.py:24-38)."""
+                 alpha: float = 0.3, invert: bool = True) -> None:
+    """JET-colormap heat overlay (visualization.py:24-38; the reference
+    inverts the heat before normalizing, visualization.py:30)."""
     img = _to_uint8_bgr(img_rgb)
     h, w = img.shape[:2]
     heat = heat.astype(np.float32)
+    if invert:
+        heat = 1.0 - heat
     heat = (heat - heat.min()) / (heat.max() - heat.min() + 1e-8)
     heat = cv2.resize((heat * 255).astype(np.uint8), (w, h), interpolation=cv2.INTER_LINEAR)
     heat_img = cv2.applyColorMap(heat, cv2.COLORMAP_JET)

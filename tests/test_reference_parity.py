@@ -196,7 +196,7 @@ class TestLossesAgainstReference:
                                   torch.from_numpy(target), it)
                 loss_t = float(loss_t)
             loss_j, p_j = jl.bootstrapped_ce(
-                jnp.asarray(np.moveaxis(logits, 1, -1)).swapaxes(1, 1),
+                jnp.asarray(np.moveaxis(logits, 1, -1)),
                 jnp.asarray(target.astype(np.int32)), jnp.asarray(it), None,
                 start_warm=5, end_warm=15, top_p=0.3,
             )
