@@ -146,11 +146,14 @@ def run_video(
     frames: (T, B, H, W, 3); init_mask: (B, Ho, Wo, N+1); active: (B, N).
     Returns pred indices (T-1, B, Ho, Wo) uint8 for frames 1..T-1.
 
-    Unlike the per-frame path, every frame (including the last) is memorized;
-    the reference skips the final memorize purely as a speed optimization
-    (swem_evaluator.py:90-93) — predictions are identical.
+    The final frame is peeled out of the scan and decoded without the
+    memorize pass, like the reference (swem_evaluator.py:90-93) — the
+    post-video memory is never read, so this is a pure speed win.
     """
     mem0 = init_memory(model, variables, rng, frames[0], init_mask, active)
+    if frames.shape[0] == 1:
+        B = frames.shape[1]
+        return jnp.zeros((0, B) + tuple(out_size), jnp.uint8)
 
     def body(mem, frame):
         mem, pred_idx, _ = step(
@@ -158,8 +161,11 @@ def run_video(
         )
         return mem, pred_idx
 
-    _, preds = jax.lax.scan(body, mem0, frames[1:])
-    return preds
+    mem, preds = jax.lax.scan(body, mem0, frames[1:-1])
+    _, last_pred, _ = step(
+        model, variables, mem, frames[-1], active, out_size, do_memorize=False
+    )
+    return jnp.concatenate([preds, last_pred[None]], axis=0)
 
 
 def run_video_scores(
