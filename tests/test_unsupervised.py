@@ -61,3 +61,36 @@ class TestUncertainty:
         u_unc = calc_uncertainty(score2)
         assert u_conf.mean() < u_unc.mean()
         assert u_conf.shape == (1, 4, 4, 1)
+
+
+class TestUnsupervisedEvaluation:
+    def test_reads_unsupervised_annotations_folder(self, tmp_path, rng):
+        """task='unsupervised' reads Annotations_unsupervised (davis.py:33)
+        and scores Hungarian-matched proposals end to end."""
+        import os
+
+        from swem_tpu.data.palette import davis_palette, save_seg_mask
+        from swem_tpu.eval.benchmark import DavisEvaluation
+
+        root = str(tmp_path / "davis")
+        os.makedirs(os.path.join(root, "ImageSets", "2019"))
+        open(os.path.join(root, "ImageSets", "2019", "val.txt"), "w").write("seq0\n")
+        pal = davis_palette()
+        adir = os.path.join(root, "Annotations_unsupervised", "480p", "seq0")
+        rdir = str(tmp_path / "res" / "seq0")
+        os.makedirs(adir)
+        os.makedirs(rdir)
+        for t in range(4):
+            lab = np.zeros((40, 60), np.uint8)
+            lab[10:30, 10:30] = 1
+            lab[10:30, 35:55] = 2
+            save_seg_mask(lab, os.path.join(adir, f"{t:05d}.png"), pal)
+            # proposals: same masks with permuted ids -> perfect after matching
+            perm = np.zeros_like(lab)
+            perm[lab == 1] = 2
+            perm[lab == 2] = 1
+            save_seg_mask(perm, os.path.join(rdir, f"{t:05d}.png"), pal)
+        ev = DavisEvaluation(root, year="2019", gt_set="val", task="unsupervised")
+        metrics = ev.evaluate(str(tmp_path / "res"))
+        np.testing.assert_allclose(metrics["J"]["M"], 1.0)
+        np.testing.assert_allclose(metrics["F"]["M"], 1.0)
