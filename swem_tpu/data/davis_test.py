@@ -94,6 +94,14 @@ class DavisTestSet:
             n_objs=n_objs, frame_names=frame_names,
         )
 
+    def peek(self, idx: int):
+        """(name, out_size) from file headers only — no frame decoding."""
+        name = self.videos[idx]
+        mask0 = sorted(glob(os.path.join(self.root, "Annotations", "480p", name, "*.png")))[0]
+        with Image.open(mask0) as m:
+            w, h = m.size
+        return name, (h, w)
+
     def __iter__(self) -> Iterator[DavisVideo]:
         for i in range(len(self)):
             yield self[i]

@@ -36,6 +36,7 @@ class YTVOSVideo:
     name: str
     frames: np.ndarray  # (T, H, W, 3) float32 at inference size
     init_mask: np.ndarray  # (Ho, Wo, n_slots+1) frame-0 one-hot (original size)
+    init_slots: list  # slots annotated at frame 0 (even if their mask is empty)
     first_label: np.ndarray  # (Ho, Wo) original-id label of frame 0
     # frame_idx -> dict(mask=(Ho,Wo,n_slots+1) one-hot fg only in new slots,
     #                   new_slots=list[int])
@@ -130,6 +131,7 @@ class YTVOSTestSet:
             name=name,
             frames=frames,
             init_mask=init["mask"],
+            init_slots=init["new_slots"],
             first_label=first_label,
             injections=injections,
             slot_to_orig=slot_to_orig,

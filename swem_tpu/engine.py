@@ -250,6 +250,23 @@ class ChunkedVideoRunner:
             donate_argnums=(1,),
         )
 
+    def warmup(self, variables, frame_hw, batch: int, n_slots: int):
+        """AOT-compile init + chunk + tail step (no dummy execution)."""
+        h, w = frame_hw
+        f0 = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+        fc = jax.ShapeDtypeStruct((self.chunk, batch, h, w, 3), jnp.float32)
+        m = jax.ShapeDtypeStruct((batch,) + tuple(self.out_size) + (n_slots + 1,),
+                                 jnp.float32)
+        a = jax.ShapeDtypeStruct((batch, n_slots), jnp.bool_)
+        rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        self._init.lower(variables, rng, f0, m, a).compile()
+        mem_abs = jax.eval_shape(
+            lambda v, r, f, mm, aa: init_memory(self.model, v, r, f, mm, aa),
+            variables, rng, f0, m, a,
+        )
+        self._chunk.lower(variables, mem_abs, fc, a).compile()
+        self._step.lower(variables, mem_abs, f0, a).compile()
+
     def __call__(self, variables, rng, frames, init_mask, active):
         """frames: (T, B, H, W, 3) device or host array. Returns host preds
         (T-1, B, Ho, Wo) uint8."""

@@ -109,16 +109,9 @@ class Evaluator:
         if key not in self._runners:
             runner = ChunkedVideoRunner(self._model_for(n_slots), out_size,
                                         chunk=self.cfg.eval.chunk)
-            # warm up: compile init + chunk scan + tail step outside the FPS
-            # span (XLA compilation would otherwise be billed to video 0;
-            # the reference's CUDA warmup cost is negligible by comparison)
-            h, w = self.cfg.eval.davis_in_size
-            dummy_frames = jnp.zeros((runner.chunk + 2, batch, h, w, 3), jnp.float32)
-            dummy_mask = jnp.zeros((batch,) + tuple(out_size) + (n_slots + 1,),
-                                   jnp.float32)
-            dummy_active = jnp.zeros((batch, n_slots), bool)
-            runner(self.variables, jax.random.PRNGKey(0), dummy_frames,
-                   dummy_mask, dummy_active)
+            # AOT-compile init + chunk scan + tail step outside the FPS span
+            # (XLA compilation would otherwise be billed to video 0)
+            runner.warmup(self.variables, self.cfg.eval.davis_in_size, batch, n_slots)
             self._runners[key] = runner
         return self._runners[key]
 
@@ -192,13 +185,17 @@ class Evaluator:
         """
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
+        # group by output size from file headers only; videos are decoded
+        # one batch at a time (a full eager pass would hold the whole
+        # dataset's frame stacks in host RAM)
         groups: Dict[tuple, list] = {}
-        for video in self.dataset:
-            groups.setdefault(video.frames.shape[1:3] + (video.init_mask.shape[:2]), []).append(video)
+        for idx in range(len(self.dataset)):
+            _, out_size = self.dataset.peek(idx)
+            groups.setdefault(out_size, []).append(idx)
 
-        for key, videos in groups.items():
-            for i in range(0, len(videos), vb):
-                batch_videos = videos[i : i + vb]
+        for key, indices in groups.items():
+            for i in range(0, len(indices), vb):
+                batch_videos = [self.dataset[j] for j in indices[i : i + vb]]
                 B = len(batch_videos)
                 Ho, Wo = batch_videos[0].init_mask.shape[:2]
                 T_max = max(v.frames.shape[0] for v in batch_videos)
@@ -214,6 +211,7 @@ class Evaluator:
                     active[b, : v.n_objs] = True
                 runner = self._runner((Ho, Wo), batch=B)
                 in_frames = self._resize_davis(jnp.asarray(frames))
+                np.asarray(in_frames[0, 0, 0, 0])  # sync fence, no bulk copy
                 fps.tic()
                 preds = runner(self.variables, rng, in_frames, init_mask,
                                jnp.asarray(active))
@@ -249,6 +247,12 @@ class Evaluator:
         from swem_tpu.engine import run_video_scores
 
         T = frames.shape[0]
+        if T == 1:  # only the annotated frame: nothing to predict
+            if fps is not None:
+                fps.tic()
+                fps.toc(n_frames if n_frames is not None else T)
+            B = frames.shape[1]
+            return np.zeros((0, B) + tuple(out_size), np.uint8)
         bucket = ((T - 1 + 31) // 32) * 32 + 1
         if bucket != T:
             pad = jnp.repeat(frames[-1:], bucket - T, axis=0)
@@ -271,11 +275,10 @@ class Evaluator:
                         m, a, out_size,
                     )
                 )
-                # compile outside the FPS span
-                np.asarray(fn(
-                    self.variables, rng, jnp.zeros_like(frames),
-                    jnp.zeros_like(init_mask), jnp.zeros_like(active),
-                )[0, 0, 0, 0])
+                # AOT-compile outside the FPS span (no dummy execution)
+                fn.lower(self.variables, rng, jax.ShapeDtypeStruct(frames.shape, frames.dtype),
+                         jax.ShapeDtypeStruct(init_mask.shape, init_mask.dtype),
+                         jax.ShapeDtypeStruct(active.shape, active.dtype)).compile()
                 self._runners[key] = fn
         if fps is not None:
             fps.tic()
@@ -358,6 +361,11 @@ class Evaluator:
                         )[:2],
                         donate_argnums=(1,),
                     ),
+                    "last": jax.jit(
+                        lambda v, mem, f, a, _m=model: step(
+                            _m, v, mem, f, a, (Ho, Wo), do_memorize=False
+                        )[:2],
+                    ),
                     "chunk": jax.jit(
                         lambda v, mem, f, a, _m=model: run_chunk(
                             _m, v, mem, f, a, (Ho, Wo)
@@ -368,27 +376,30 @@ class Evaluator:
             fns = step_cache[key]
 
             if new_key:
-                # compile everything outside the FPS span
+                # AOT-compile everything outside the FPS span
                 h_in, w_in = video.frames.shape[1:3]
-                zf0 = jnp.zeros((1, h_in, w_in, 3), jnp.float32)
-                zm = jnp.zeros((1, Ho, Wo, bucket + 1), jnp.float32)
-                za = jnp.zeros((1, bucket), bool)
-                wmem = init_cache[bucket](self.variables, rng, zf0, zm, za)
-                wmem, _ = fns["plain"](self.variables, wmem, zf0, za)
-                wmem, _ = fns["inject"](self.variables, wmem, zf0, za, zm, za)
-                wmem, p = fns["chunk"](
-                    self.variables, wmem,
-                    jnp.zeros((chunk_len, 1, h_in, w_in, 3), jnp.float32), za,
+                zf0 = jax.ShapeDtypeStruct((1, h_in, w_in, 3), jnp.float32)
+                zfc = jax.ShapeDtypeStruct((chunk_len, 1, h_in, w_in, 3), jnp.float32)
+                zm = jax.ShapeDtypeStruct((1, Ho, Wo, bucket + 1), jnp.float32)
+                za = jax.ShapeDtypeStruct((1, bucket), jnp.bool_)
+                zr = jax.ShapeDtypeStruct((2,), jnp.uint32)
+                init_cache[bucket].lower(self.variables, zr, zf0, zm, za).compile()
+                mem_abs = jax.eval_shape(
+                    lambda v, r, f, mm, aa, _m=model: init_memory(_m, v, r, f, mm, aa),
+                    self.variables, zr, zf0, zm, za,
                 )
-                np.asarray(p[0, 0, 0, 0])
+                fns["plain"].lower(self.variables, mem_abs, zf0, za).compile()
+                fns["last"].lower(self.variables, mem_abs, zf0, za).compile()
+                fns["inject"].lower(self.variables, mem_abs, zf0, za, zm, za).compile()
+                fns["chunk"].lower(self.variables, mem_abs, zfc, za).compile()
 
             frames = jnp.asarray(video.frames)[:, None]
             init_mask = jnp.asarray(video.init_mask[..., : bucket + 1])[None]
             active = np.zeros((1, bucket), bool)
-            # slots 0..n0-1 are the objects injected at frame 0 (slot order
-            # follows appearance order by construction)
-            n0 = int(video.init_mask[..., 1:].sum(axis=(0, 1)).astype(bool).sum())
-            active[:, :n0] = True
+            # exact frame-0 slot list from meta.json (an annotated object may
+            # have an empty frame-0 mask; counting nonzero channels would
+            # activate the wrong slots)
+            active[:, [s_ for s_ in video.init_slots if s_ < bucket]] = True
             active = jnp.asarray(active)
 
             fps.tic()
@@ -420,7 +431,9 @@ class Evaluator:
                     all_preds.extend(np.asarray(preds, dtype=np.uint8)[:, 0])
                     t += chunk_len
                 while t < seg_end:
-                    mem, pred = fns["plain"](self.variables, mem, frames[t], active)
+                    # the final frame is decode-only (swem_evaluator.py:139)
+                    fn = fns["last"] if t == T - 1 else fns["plain"]
+                    mem, pred = fn(self.variables, mem, frames[t], active)
                     all_preds.append(np.asarray(pred, dtype=np.uint8)[0])
                     t += 1
             fps.toc(T)

@@ -45,11 +45,18 @@ class Trainer:
         self.logger = logger or setup_logger("swem_train", self.exp_dir, "train_stage")
         self.max_iter = max_iter_for_stage(cfg.solver)
 
-        self.model = SWEM(cfg.model)
+        import dataclasses as _dc
+
+        # Gaussian kernel reweighting is inference-only in the reference
+        # (modules.py:253 'n_kernel > 0 and not self.training')
+        self.model = SWEM(_dc.replace(cfg.model, n_kernel=0))
         n_devices = jax.device_count()
         self.mesh = make_mesh()
         self.tx, self.sched = make_optimizer(cfg.solver)
-        self.train_step = jax.jit(make_train_step(self.model, cfg, self.tx))
+        # donate the state: params + Adam moments would otherwise be
+        # double-buffered on device every step
+        self.train_step = jax.jit(make_train_step(self.model, cfg, self.tx),
+                                  donate_argnums=(0,))
         self._predict = None  # lazily jitted visualization forward
 
         # init / resume
