@@ -42,6 +42,9 @@ class ModelConfig:
     # inference-only, off by default in the reference: n_kernel=0)
     n_kernel: int = 0
     kernel_sigma: float = 7.0
+    # Random memory-base dropout on the value-read softmax, training only
+    # (modules.py:79,258-263; the reference hardcodes 0.0)
+    p_drop: float = 0.0
 
     @property
     def topl_eff(self) -> int:

@@ -350,6 +350,8 @@ def read_memory(
     n_kernel: int = 0,
     sigma: float = 7.0,
     hw: Optional[Tuple[int, int]] = None,
+    p_drop: float = 0.0,
+    drop_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Attention-style memory read (modules.py:232-293).
 
@@ -359,6 +361,11 @@ def read_memory(
     base_valid: (B, N, 2, Lm) bool
     n_kernel/sigma/hw: optional Gaussian locality reweighting of the
     affinity softmax (modules.py:253-256; inference-only, off by default).
+    p_drop/drop_rng: random memory-base dropout on the value-read softmax
+    (modules.py:258-263; training-only, 0.0 in the reference). Drops whole
+    bases (shared across the {bg,fg} branch pair and all pixels) from the
+    read normalization; the top-l feature S uses the undropped affinities,
+    exactly as the reference computes S from pre-drop ``exp_aff``.
 
     Returns (mem_out, S): mem_out (B, N, P, Cv) value read;
     S (B, N, P, 2*topl) permutation-invariant feature.
@@ -384,6 +391,12 @@ def read_memory(
         weighted = exp_aff * gauss
         denom = jnp.sum(weighted, axis=(2, 3), keepdims=True)
         p_aff = weighted / (denom + 1e-8)  # modules.py:256 epsilon
+    elif p_drop > 0.0 and drop_rng is not None:
+        B, N, _, Lm, _ = exp_aff.shape
+        keep = (jax.random.uniform(drop_rng, (B, N, 1, Lm, 1)) > p_drop)
+        dropped = exp_aff * keep.astype(exp_aff.dtype)
+        denom = jnp.sum(dropped, axis=(2, 3), keepdims=True)
+        p_aff = dropped / (denom + 1e-6)  # modules.py:262 epsilon
     else:
         denom = jnp.sum(exp_aff, axis=(2, 3), keepdims=True)
         p_aff = exp_aff / (denom + 1e-30)

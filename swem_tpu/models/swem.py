@@ -83,19 +83,25 @@ class SWEM(nn.Module):
             mv = self.value_encoder(fold(frame_n), fold(s16_n), fold(mask_fg), fold(mask_ot))
         return mv.reshape((B, N) + mv.shape[1:])
 
-    def match(self, qk16, qv16, mem: em.VOSMemory):
+    def match(self, qk16, qv16, mem: em.VOSMemory, train: bool = False):
         """Memory read + GLU fusion -> object context (modules.py:278-293).
 
         qk16 (B,h,w,Ck); qv16 (B,h,w,Cv). Returns context (B,N,h,w,Cv).
+        ``train=True`` enables p_drop memory dropout (modules.py:258-263)
+        when cfg.p_drop > 0, drawing from the 'memdrop' rng stream.
         """
         B, h, w, Ck = qk16.shape
         mk, mv, base_valid = em.gather_memory(mem)
         N = mk.shape[1]
         qk_flat = qk16.reshape(B, h * w, Ck).astype(jnp.float32)
+        drop_rng = (
+            self.make_rng("memdrop") if train and self.cfg.p_drop > 0 else None
+        )
         mem_out, S = em.read_memory(
             qk_flat, mk, mv, base_valid,
             tau=self.cfg.em_tau, topl=self.cfg.topl_eff,
             n_kernel=self.cfg.n_kernel, sigma=self.cfg.kernel_sigma, hw=(h, w),
+            p_drop=self.cfg.p_drop if train else 0.0, drop_rng=drop_rng,
         )
         Cv = mem_out.shape[-1]
         qv = jnp.broadcast_to(

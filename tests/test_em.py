@@ -260,6 +260,58 @@ class TestReadMemory:
         np.testing.assert_allclose(out_masked, out_small, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(S_masked, S_small, rtol=1e-5, atol=1e-6)
 
+    def test_p_drop_zero_is_noop(self, rng):
+        """p_drop=0 must match the default path even with an rng supplied."""
+        B, N, P, Ck, Cv, L = 1, 2, 24, 8, 12, 16
+        qk = rng.standard_normal((B, P, Ck)).astype(np.float32)
+        mk = rng.standard_normal((B, N, 2, Ck, L)).astype(np.float32)
+        mv = rng.standard_normal((B, N, 2, Cv, L)).astype(np.float32)
+        valid = jnp.ones((B, N, 2, L), bool)
+        base = em.read_memory(
+            jnp.asarray(qk), jnp.asarray(mk), jnp.asarray(mv), valid,
+            tau=0.05, topl=4,
+        )
+        dropped = em.read_memory(
+            jnp.asarray(qk), jnp.asarray(mk), jnp.asarray(mv), valid,
+            tau=0.05, topl=4, p_drop=0.0, drop_rng=jax.random.PRNGKey(0),
+        )
+        for a, b in zip(base, dropped):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_p_drop_matches_manual_renormalization(self, rng):
+        """p_drop drops whole bases from the read softmax (shared over the
+        {bg,fg} pair and all pixels, modules.py:258-262) and renormalizes
+        with +1e-6; the top-l feature S stays undropped."""
+        B, N, P, Ck, Cv, L = 1, 2, 24, 8, 12, 16
+        tau, topl, p_drop = 0.05, 4, 0.5
+        qk = rng.standard_normal((B, P, Ck)).astype(np.float32)
+        mk = rng.standard_normal((B, N, 2, Ck, L)).astype(np.float32)
+        mv = rng.standard_normal((B, N, 2, Cv, L)).astype(np.float32)
+        valid = jnp.ones((B, N, 2, L), bool)
+        key = jax.random.PRNGKey(7)
+        out_drop, S_drop = em.read_memory(
+            jnp.asarray(qk), jnp.asarray(mk), jnp.asarray(mv), valid,
+            tau=tau, topl=topl, p_drop=p_drop, drop_rng=key,
+        )
+        _, S_base = em.read_memory(
+            jnp.asarray(qk), jnp.asarray(mk), jnp.asarray(mv), valid,
+            tau=tau, topl=topl,
+        )
+        np.testing.assert_array_equal(np.asarray(S_drop), np.asarray(S_base))
+
+        # manual: same keep mask (the rng draw is deterministic), renormalize
+        keep = np.asarray(jax.random.uniform(key, (B, N, 1, L, 1)) > p_drop)
+        qkn = np_l2norm(qk, axis=-1)
+        mkn = np_l2norm(mk, axis=-2)
+        aff = np.einsum("bnscl,bpc->bnslp", mkn, qkn)
+        exp_aff = np.exp((aff - aff.max(axis=(2, 3), keepdims=True)) / tau)
+        dropped = exp_aff * keep
+        p_aff = dropped / (dropped.sum(axis=(2, 3), keepdims=True) + 1e-6)
+        want = np.einsum("bnsvl,bnslp->bnpv", mv, p_aff)
+        np.testing.assert_allclose(np.asarray(out_drop), want, rtol=2e-4, atol=1e-5)
+        # the drop actually changed something
+        assert not np.allclose(np.asarray(out_drop), self.np_read(qk, mk, mv, tau, topl)[0])
+
     def test_no_nans_for_unseen_objects(self, rng):
         B, N, P, Ck, Cv, L = 1, 2, 24, 8, 12, 16
         qk = rng.standard_normal((B, P, Ck)).astype(np.float32)

@@ -86,6 +86,17 @@ class TestTrainStep:
         _, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
         assert float(metrics["p"]) == 1.0
 
+    def test_p_drop_train_step_runs(self, setup):
+        """p_drop>0 wires the 'memdrop' rng through the unrolled forward
+        (modules.py:258-263) and still produces a finite loss."""
+        import dataclasses
+        model, cfg, tx, state, _, batch = setup
+        cfg_d = cfg.replace(model=dataclasses.replace(cfg.model, p_drop=0.5))
+        model_d = SWEM(cfg_d.model)
+        step_fn = jax.jit(make_train_step(model_d, cfg_d, tx))
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(5))
+        assert np.isfinite(float(metrics["total_loss"]))
+
 
 class TestDataParallel:
     def test_sharded_step_matches_single_device(self, setup):
