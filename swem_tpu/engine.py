@@ -181,9 +181,13 @@ def run_video_scores(
 
     Like ``run_video`` but stacks pred_mask (T-1, B, Ho, Wo, N+1); the
     evaluator averages scores over scales/flips before the argmax
-    (swem_evaluator.py:34-57).
+    (swem_evaluator.py:34-57). The final frame is decode-only, matching
+    the reference (swem_evaluator.py:90-93) and ``run_video``.
     """
     mem0 = init_memory(model, variables, rng, frames[0], init_mask, active)
+    if frames.shape[0] == 1:
+        B, n_ch = frames.shape[1], init_mask.shape[-1]
+        return jnp.zeros((0, B) + tuple(out_size) + (n_ch,), jnp.float32)
 
     def body(mem, frame):
         mem, _, pred_mask = step(
@@ -191,8 +195,11 @@ def run_video_scores(
         )
         return mem, pred_mask
 
-    _, scores = jax.lax.scan(body, mem0, frames[1:])
-    return scores
+    mem, scores = jax.lax.scan(body, mem0, frames[1:-1])
+    _, _, last = step(
+        model, variables, mem, frames[-1], active, out_size, do_memorize=False
+    )
+    return jnp.concatenate([scores, last[None]], axis=0)
 
 
 def run_chunk(
@@ -202,21 +209,24 @@ def run_chunk(
     frames: jnp.ndarray,
     active: jnp.ndarray,
     out_size: Tuple[int, int],
+    scores: bool = False,
 ) -> Tuple[em.VOSMemory, jnp.ndarray]:
     """Scan a fixed-size chunk of frames, carrying the memory.
 
-    frames: (C, B, H, W, 3). Returns (mem, preds (C, B, Ho, Wo) uint8).
+    frames: (C, B, H, W, 3). Returns (mem, preds) with preds either
+    (C, B, Ho, Wo) uint8 indices or, with ``scores``, (C, B, Ho, Wo, N+1)
+    f32 soft masks (multi-scale/flip averaging needs the scores).
 
     Chunking keeps compilation independent of video length: full chunks run
-    under one compiled scan, the remainder runs as single jitted steps
-    (see ChunkedVideoRunner).
+    under one compiled scan, the remainder through a binary ladder of
+    smaller chunks (see ChunkedVideoRunner).
     """
 
     def body(mem, frame):
-        mem, pred_idx, _ = step(
+        mem, pred_idx, pred_mask = step(
             model, variables, mem, frame, active, out_size, do_memorize=True
         )
-        return mem, pred_idx
+        return mem, (pred_mask if scores else pred_idx)
 
     return jax.lax.scan(body, mem, frames)
 
@@ -224,74 +234,107 @@ def run_chunk(
 class ChunkedVideoRunner:
     """Compile-once-per-(chunk,out_size) whole-video inference.
 
-    Avoids both per-frame dispatch overhead and per-video-length
-    recompilation: frames 1..T-1 are processed in fixed-size scan chunks.
-    The final partial chunk is padded by repeating the last frame and its
-    extra predictions discarded — padded frames only touch the post-video
-    memory, which is never read again (``pad_tail=False`` switches to exact
-    per-frame tail steps for callers that keep using the memory).
+    Avoids per-frame dispatch overhead, per-video-length recompilation, AND
+    wasted tail compute: frames 1..T-2 run through fixed-size scan chunks —
+    the remainder through a binary ladder of power-of-two chunks (exact
+    binary decomposition, zero padded frames) — and the final frame is
+    decode-only (the post-video memorize is never read,
+    swem_evaluator.py:90-93).
+
+    ``scores=True`` emits (T-1, B, Ho, Wo, N+1) f32 soft masks as a device
+    array (the multi-scale/flip path accumulates on device and only ships
+    the argmax across the host link); default emits uint8 indices on host.
+
+    ``preprocess`` (e.g. uint8 -> /255 -> bicubic scale resize) is fused
+    into each fixed-shape jitted program, so per-video frame counts never
+    trigger preprocessing recompiles inside the timed span.
     """
 
     def __init__(self, model: SWEM, out_size: Tuple[int, int], chunk: int = 16,
-                 pad_tail: bool = True):
+                 scores: bool = False, preprocess=None):
         self.model = model
         self.out_size = out_size
         self.chunk = chunk
-        self.pad_tail = pad_tail
+        self.scores = scores
+        pre = preprocess if preprocess is not None else (lambda f: f)
         self._init = jax.jit(
-            lambda v, r, f, m, a: init_memory(model, v, r, f, m, a)
+            lambda v, r, f, m, a: init_memory(model, v, r, pre(f), m, a)
         )
         self._chunk = jax.jit(
-            lambda v, mem, f, a: run_chunk(model, v, mem, f, a, out_size),
+            lambda v, mem, f, a: run_chunk(model, v, mem, pre(f), a, out_size,
+                                           scores=scores),
             donate_argnums=(1,),
         )
-        self._step = jax.jit(
-            lambda v, mem, f, a: step(model, v, mem, f, a, out_size, do_memorize=True)[:2],
-            donate_argnums=(1,),
+        self._last = jax.jit(
+            lambda v, mem, f, a: step(
+                model, v, mem, pre(f), a, out_size, do_memorize=False
+            )[2 if scores else 1],
         )
+        self._pre = pre
 
-    def warmup(self, variables, frame_hw, batch: int, n_slots: int):
-        """AOT-compile init + chunk + tail step (no dummy execution)."""
+    def _ladder(self):
+        sizes = []
+        s = self.chunk // 2
+        while s >= 1:
+            sizes.append(s)
+            s //= 2
+        return sizes
+
+    def warmup(self, variables, frame_hw, batch: int, n_slots: int,
+               frame_dtype=jnp.float32):
+        """AOT-compile init + chunk scans (full + ladder) + final step.
+
+        ``frame_hw``/``frame_dtype`` describe the RAW frames handed to
+        __call__ (before ``preprocess``).
+        """
         h, w = frame_hw
-        f0 = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
-        fc = jax.ShapeDtypeStruct((self.chunk, batch, h, w, 3), jnp.float32)
+        f0 = jax.ShapeDtypeStruct((batch, h, w, 3), frame_dtype)
         m = jax.ShapeDtypeStruct((batch,) + tuple(self.out_size) + (n_slots + 1,),
                                  jnp.float32)
         a = jax.ShapeDtypeStruct((batch, n_slots), jnp.bool_)
         rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
         self._init.lower(variables, rng, f0, m, a).compile()
         mem_abs = jax.eval_shape(
-            lambda v, r, f, mm, aa: init_memory(self.model, v, r, f, mm, aa),
+            lambda v, r, f, mm, aa: init_memory(self.model, v, r, self._pre(f), mm, aa),
             variables, rng, f0, m, a,
         )
-        self._chunk.lower(variables, mem_abs, fc, a).compile()
-        self._step.lower(variables, mem_abs, f0, a).compile()
+        for size in [self.chunk] + self._ladder():
+            fc = jax.ShapeDtypeStruct((size, batch, h, w, 3), frame_dtype)
+            self._chunk.lower(variables, mem_abs, fc, a).compile()
+        self._last.lower(variables, mem_abs, f0, a).compile()
 
     def __call__(self, variables, rng, frames, init_mask, active):
-        """frames: (T, B, H, W, 3) device or host array. Returns host preds
-        (T-1, B, Ho, Wo) uint8."""
+        """frames: (T, B, H, W, 3) device or host array.
+
+        Returns preds for frames 1..T-1: (T-1, B, Ho, Wo) uint8 on host, or
+        (T-1, B, Ho, Wo, N+1) f32 on device with ``scores=True``.
+        """
         frames = jnp.asarray(frames)
         T = frames.shape[0]
+        B = frames.shape[1]
         mem = self._init(variables, rng, frames[0], init_mask, active)
         if T == 1:  # only the annotated frame: nothing to predict
-            B = frames.shape[1]
+            if self.scores:
+                n_ch = init_mask.shape[-1]
+                return jnp.zeros((0, B) + tuple(self.out_size) + (n_ch,), jnp.float32)
             return np.zeros((0, B) + tuple(self.out_size), np.uint8)
+
+        def collect(p):
+            return p if self.scores else np.asarray(p, dtype=np.uint8)
+
         preds = []
         t = 1
-        while t + self.chunk <= T:
+        while t + self.chunk <= T - 1:
             mem, p = self._chunk(variables, mem, frames[t : t + self.chunk], active)
-            preds.append(np.asarray(p, dtype=np.uint8))
+            preds.append(collect(p))
             t += self.chunk
-        remaining = T - t
-        if remaining > 0:
-            if self.pad_tail:
-                pad = jnp.repeat(frames[-1:], self.chunk - remaining, axis=0)
-                tail = jnp.concatenate([frames[t:], pad], axis=0)
-                mem, p = self._chunk(variables, mem, tail, active)
-                preds.append(np.asarray(p, dtype=np.uint8)[:remaining])
-            else:
-                while t < T:
-                    mem, p = self._step(variables, mem, frames[t], active)
-                    preds.append(np.asarray(p, dtype=np.uint8)[None])
-                    t += 1
+        for size in self._ladder():
+            if t + size <= T - 1:
+                mem, p = self._chunk(variables, mem, frames[t : t + size], active)
+                preds.append(collect(p))
+                t += size
+        # final frame: decode-only
+        preds.append(collect(self._last(variables, mem, frames[-1], active))[None])
+        if self.scores:
+            return jnp.concatenate(preds, axis=0)
         return np.concatenate(preds, axis=0)

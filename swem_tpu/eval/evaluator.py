@@ -142,11 +142,8 @@ class Evaluator:
             active = jnp.asarray(active)
 
             if multi_scale:
-                init_full = jnp.asarray(video.init_mask)[None]
-                act_full = np.zeros((1, self.n_slots), bool)
-                act_full[:, : video.n_objs] = True
                 preds = self._run_multi_scale(
-                    rng, frames, init_full, jnp.asarray(act_full), (Ho, Wo),
+                    rng, frames, init_mask, active, (Ho, Wo), bucket,
                     fps=fps, n_frames=T,
                 )
             else:
@@ -235,17 +232,16 @@ class Evaluator:
         self.logger.info(f"fps (throughput, video_batch={vb}): {fps.fps}")
         return fps.fps
 
-    def _run_multi_scale(self, rng, frames, init_mask, active, out_size,
+    def _run_multi_scale(self, rng, frames, init_mask, active, out_size, bucket,
                          fps=None, n_frames=None):
         """Multi-scale + flip score averaging (swem_evaluator.py:34-57).
 
-        Video length is padded to a 32-frame bucket (repeating the final
-        frame) so compilations are shared across videos; padded scores are
-        discarded. Compilation happens at runner creation, outside the FPS
-        span (started here once all runners exist).
+        Each scale runs through a slot-bucketed scores-mode chunked runner
+        (exact tail, decode-only final frame — no padded or post-video
+        memorize work in the timed span); scores accumulate on device and
+        only the argmaxed uint8 indices cross the host link. Runner
+        creation/compilation happens outside the FPS span.
         """
-        from swem_tpu.engine import run_video_scores
-
         T = frames.shape[0]
         if T == 1:  # only the annotated frame: nothing to predict
             if fps is not None:
@@ -253,50 +249,47 @@ class Evaluator:
                 fps.toc(n_frames if n_frames is not None else T)
             B = frames.shape[1]
             return np.zeros((0, B) + tuple(out_size), np.uint8)
-        bucket = ((T - 1 + 31) // 32) * 32 + 1
-        if bucket != T:
-            pad = jnp.repeat(frames[-1:], bucket - T, axis=0)
-            frames = jnp.concatenate([frames, pad], axis=0)
 
         base_h, base_w = self.cfg.eval.davis_in_size
-        total = None
+        raw_hw = tuple(frames.shape[2:4])
         scales = tuple(self.cfg.eval.scales)
-        scale_keys = []
+        plans = []
         for scale in scales:
             h = scale
             w = int(round(scale / base_h * base_w))
-            key = ("ms", (h, w), out_size, bucket)
-            scale_keys.append(key)
-            if key not in self._runners:
-                fn = jax.jit(
-                    lambda v, r, f, m, a, _h=h, _w=w: run_video_scores(
-                        self.model, v, r,
-                        resize(f.astype(jnp.float32) / 255.0, (_h, _w), "bicubic"),
-                        m, a, out_size,
-                    )
+            rkey = ("ms", (h, w), raw_hw, out_size, bucket)
+            if rkey not in self._runners:
+                # the uint8 -> /255 -> bicubic preprocess is fused into the
+                # runner's fixed-shape programs (per-video frame counts never
+                # trigger resize recompiles inside the timed span)
+                runner = ChunkedVideoRunner(
+                    self._model_for(bucket), out_size,
+                    chunk=self.cfg.eval.chunk, scores=True,
+                    preprocess=lambda f, _h=h, _w=w: resize(
+                        f.astype(jnp.float32) / 255.0, (_h, _w), "bicubic"
+                    ),
                 )
-                # AOT-compile outside the FPS span (no dummy execution)
-                fn.lower(self.variables, rng, jax.ShapeDtypeStruct(frames.shape, frames.dtype),
-                         jax.ShapeDtypeStruct(init_mask.shape, init_mask.dtype),
-                         jax.ShapeDtypeStruct(active.shape, active.dtype)).compile()
-                self._runners[key] = fn
+                runner.warmup(self.variables, raw_hw, 1, bucket,
+                              frame_dtype=frames.dtype)
+                self._runners[rkey] = runner
+            plans.append(self._runners[rkey])
+
         if fps is not None:
             fps.tic()
-        for key in scale_keys:
-            run = self._runners[key]
-            scores = np.asarray(
-                run(self.variables, rng, frames, init_mask, active)
-            )[: T - 1]
+        total = None
+        for runner in plans:
+            scores = runner(self.variables, rng, frames, init_mask, active)
             total = scores if total is None else total + scores
             if self.cfg.eval.flip:
-                flipped = np.asarray(run(
+                flipped = runner(
                     self.variables, rng, jnp.flip(frames, axis=-2),
                     jnp.flip(init_mask, axis=-2), active,
-                ))[: T - 1]
-                total = total + flipped[:, :, :, ::-1]
+                )
+                total = total + jnp.flip(flipped, axis=-2)
+        preds = np.asarray(jnp.argmax(total, axis=-1).astype(jnp.uint8))
         if fps is not None:
             fps.toc(n_frames if n_frames is not None else T)
-        return np.argmax(total, axis=-1).astype(np.uint8)
+        return preds
 
     def _save_overlays(self, video, preds, out_dir):
         from swem_tpu.utils.visualization import save_overlay

@@ -139,12 +139,20 @@ def convert_resnet_state_dict(
     extra_chan: int = 0,
     through_layer: int = 3,
     seed: int = 0,
+    add_zero_conv_biases: bool = False,
 ) -> dict:
     """torchvision resnetXX state_dict -> ResNetTrunk {'params','batch_stats'}.
 
     ``extra_chan`` widens conv1's input (mask channels) with orthogonal init
     (mod_resnet.py:14-32); stages beyond ``through_layer`` are dropped (the
     trunks stop at layer3, networks.py:153-155).
+
+    ``add_zero_conv_biases``: mod_resnet-style trunks (the value encoder)
+    carry a trainable bias on every conv that the torchvision zoo checkpoint
+    does not have; mod_resnet zero-inits them and ``strict=False``-loads the
+    zoo weights over the rest (mod_resnet.py:118-132). Setting this
+    synthesizes the zero biases so the converted tree matches
+    ResNetTrunk(conv_bias=True) exactly.
     """
     params: dict = {}
     batch_stats: dict = {}
@@ -159,6 +167,9 @@ def convert_resnet_state_dict(
         parts = key.split(".")
         leaf = parts[-1]
         path = _translate_module_path(parts[:-1])
+        if leaf == "weight" and v.ndim == 4 and add_zero_conv_biases \
+                and key[:-len("weight")] + "bias" not in state_dict:
+            _set(params, path + ("bias",), np.zeros(v.shape[0], np.float32))
         if key == "conv1.weight" and extra_chan > 0:
             w = _conv_w(v)  # (7,7,3,64)
             pad = orthogonal_conv_hwio(rng, w.shape[:2] + (extra_chan, w.shape[-1]))

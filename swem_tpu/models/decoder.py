@@ -27,5 +27,6 @@ class Decoder(nn.Module):
         # up_c of the second block equals mdim (reference uses 256 == mdim)
         x = UpsampleBlock(self.mdim, self.mdim, name="up_8_4", dtype=self.dtype)(f4, x)
         x = conv3x3(1, name="pred", dtype=self.dtype)(nn.relu(x))
-        # final resize + sigmoid/aggregation run in f32 for stable logits
-        return resize(x.astype(jnp.float32), out_size, "bilinear")
+        # final resize + sigmoid/aggregation run in >= f32 for stable logits
+        # (promote, don't truncate: the f64 parity oracle runs this in f64)
+        return resize(x.astype(jnp.promote_types(x.dtype, jnp.float32)), out_size, "bilinear")

@@ -22,9 +22,16 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def normalize_image(frame: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """(..., H, W, 3) RGB in [0, 1] -> ImageNet-normalized."""
-    mean = jnp.asarray(IMAGENET_MEAN, dtype)
-    std = jnp.asarray(IMAGENET_STD, dtype)
+    """(..., H, W, 3) RGB in [0, 1] -> ImageNet-normalized.
+
+    The constants are rounded to f32 first: the reference stores them as
+    FloatTensor buffers (networks.py:72-73), so even its f64 forward uses the
+    f32-rounded values — required for the f64 parity oracle to close.
+    """
+    import numpy as np
+
+    mean = jnp.asarray(np.asarray(IMAGENET_MEAN, np.float32), dtype)
+    std = jnp.asarray(np.asarray(IMAGENET_STD, np.float32), dtype)
     return (frame.astype(dtype) - mean) / std
 
 
@@ -37,10 +44,13 @@ class KeyEncoder(nn.Module):
     @nn.compact
     def __call__(self, frame) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         x = normalize_image(frame, self.dtype)
+        # torchvision trunk: no conv biases (networks.py:139-144)
         if self.backbone == "resnet50":
-            trunk = ResNetTrunk(block="bottleneck", layers=(3, 4, 6), name="trunk", dtype=self.dtype)
+            trunk = ResNetTrunk(block="bottleneck", layers=(3, 4, 6), name="trunk",
+                                conv_bias=False, dtype=self.dtype)
         elif self.backbone == "resnet18":
-            trunk = ResNetTrunk(block="basic", layers=(2, 2, 2), name="trunk", dtype=self.dtype)
+            trunk = ResNetTrunk(block="basic", layers=(2, 2, 2), name="trunk",
+                                conv_bias=False, dtype=self.dtype)
         else:
             raise KeyError(f"backbone {self.backbone} not supported")
         return trunk(x)
@@ -73,7 +83,9 @@ class ValueEncoder(nn.Module):
             x = jnp.concatenate(
                 [x, mask_fg.astype(self.dtype), mask_others.astype(self.dtype)], axis=-1
             )
-        trunk = ResNetTrunk(block="basic", layers=(2, 2, 2), name="trunk", dtype=self.dtype)
+        # mod_resnet trunk: bias on every conv (zero at zoo init, trainable)
+        trunk = ResNetTrunk(block="basic", layers=(2, 2, 2), name="trunk",
+                            conv_bias=True, dtype=self.dtype)
         f16, _, _ = trunk(x)
         fuser = FeatureFusionBlock(self.valdim, name="fuser", dtype=self.dtype)
         return fuser(f16, key_f16.astype(self.dtype))

@@ -22,11 +22,11 @@ from swem_tpu.ops.resize import resize
 
 
 def conv3x3(features: int, stride: int = 1, name: Optional[str] = None, dtype=jnp.float32,
-            kernel_init=nn.initializers.he_uniform()) -> nn.Conv:
+            kernel_init=nn.initializers.he_uniform(), use_bias: bool = True) -> nn.Conv:
     """3x3 conv, padding 1 (torch Conv2d(k=3, p=1) convention)."""
     return nn.Conv(
         features, (3, 3), strides=(stride, stride), padding=[(1, 1), (1, 1)],
-        name=name, dtype=dtype, kernel_init=kernel_init,
+        name=name, dtype=dtype, kernel_init=kernel_init, use_bias=use_bias,
     )
 
 

@@ -25,20 +25,23 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    conv_bias: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = conv3x3(self.planes, self.stride, name="conv1", dtype=self.dtype)(x)
+        out = conv3x3(self.planes, self.stride, name="conv1", dtype=self.dtype,
+                      use_bias=self.conv_bias)(x)
         out = FrozenBatchNorm(self.planes, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = conv3x3(self.planes, name="conv2", dtype=self.dtype)(out)
+        out = conv3x3(self.planes, name="conv2", dtype=self.dtype,
+                      use_bias=self.conv_bias)(out)
         out = FrozenBatchNorm(self.planes, name="bn2", dtype=self.dtype)(out)
         if self.downsample:
             identity = conv1x1(
                 self.planes, self.stride, name="downsample_conv",
-                dtype=self.dtype, use_bias=False,
+                dtype=self.dtype, use_bias=self.conv_bias,
             )(x)
             identity = FrozenBatchNorm(self.planes, name="downsample_bn", dtype=self.dtype)(identity)
         return nn.relu(out + identity)
@@ -48,6 +51,7 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    conv_bias: bool = False
     dtype: Any = jnp.float32
     expansion: int = 4
 
@@ -55,18 +59,21 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         out_ch = self.planes * self.expansion
         identity = x
-        out = conv1x1(self.planes, name="conv1", dtype=self.dtype, use_bias=False)(x)
+        out = conv1x1(self.planes, name="conv1", dtype=self.dtype,
+                      use_bias=self.conv_bias)(x)
         out = FrozenBatchNorm(self.planes, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = conv3x3(self.planes, self.stride, name="conv2", dtype=self.dtype)(out)
+        out = conv3x3(self.planes, self.stride, name="conv2", dtype=self.dtype,
+                      use_bias=self.conv_bias)(out)
         out = FrozenBatchNorm(self.planes, name="bn2", dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = conv1x1(out_ch, name="conv3", dtype=self.dtype, use_bias=False)(out)
+        out = conv1x1(out_ch, name="conv3", dtype=self.dtype,
+                      use_bias=self.conv_bias)(out)
         out = FrozenBatchNorm(out_ch, name="bn3", dtype=self.dtype)(out)
         if self.downsample:
             identity = conv1x1(
                 out_ch, self.stride, name="downsample_conv",
-                dtype=self.dtype, use_bias=False,
+                dtype=self.dtype, use_bias=self.conv_bias,
             )(x)
             identity = FrozenBatchNorm(out_ch, name="downsample_bn", dtype=self.dtype)(identity)
         return nn.relu(out + identity)
@@ -82,6 +89,11 @@ class ResNetTrunk(nn.Module):
     block: str  # 'basic' | 'bottleneck'
     layers: Sequence[int]  # e.g. (3, 4, 6) for r50 through layer3
     in_channels: int = 3
+    # torchvision trunks (key encoder) have NO conv biases; mod_resnet trunks
+    # (value encoder, mod_resnet.py:118-127,140-145) have a bias on EVERY
+    # conv (zero at zoo init, but trainable -> nonzero in trained reference
+    # checkpoints), including conv1 and the downsample convs.
+    conv_bias: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -91,7 +103,7 @@ class ResNetTrunk(nn.Module):
 
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, name="conv1", dtype=self.dtype,
+            use_bias=self.conv_bias, name="conv1", dtype=self.dtype,
             kernel_init=nn.initializers.he_uniform(),
         )(x)
         x = FrozenBatchNorm(64, name="bn1", dtype=self.dtype)(x)
@@ -110,6 +122,7 @@ class ResNetTrunk(nn.Module):
                     planes,
                     stride=stride if first else 1,
                     downsample=needs_down,
+                    conv_bias=self.conv_bias,
                     name=f"layer{stage + 1}_{b}",
                     dtype=self.dtype,
                 )(x)
@@ -124,8 +137,9 @@ def resnet50_trunk(dtype=jnp.float32) -> ResNetTrunk:
     return ResNetTrunk(block="bottleneck", layers=(3, 4, 6), dtype=dtype)
 
 
-def resnet18_trunk(in_channels: int = 3, dtype=jnp.float32) -> ResNetTrunk:
-    return ResNetTrunk(block="basic", layers=(2, 2, 2), in_channels=in_channels, dtype=dtype)
+def resnet18_trunk(in_channels: int = 3, conv_bias: bool = False, dtype=jnp.float32) -> ResNetTrunk:
+    return ResNetTrunk(block="basic", layers=(2, 2, 2), in_channels=in_channels,
+                       conv_bias=conv_bias, dtype=dtype)
 
 
 BACKBONE_FEATURES = {

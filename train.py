@@ -113,7 +113,9 @@ def init_backbones(trainer, args):
     stats["key_encoder"]["trunk"] = key_sd["batch_stats"]
     if len(paths) > 1:
         extra = 1 if trainer.cfg.model.single_object else 2
-        val_sd = convert_resnet_state_dict(load_torch_file(paths[1]), extra_chan=extra)
+        val_sd = convert_resnet_state_dict(
+            load_torch_file(paths[1]), extra_chan=extra, add_zero_conv_biases=True
+        )
         params["value_encoder"]["trunk"] = val_sd["params"]
         stats["value_encoder"]["trunk"] = val_sd["batch_stats"]
     trainer.state = TrainState(
