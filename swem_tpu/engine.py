@@ -26,6 +26,7 @@ from swem_tpu.models.swem import (
     SWEM,
     hard_mask_from_pred,
     prepare_em_masks,
+    prepare_em_masks_from_idx,
 )
 from swem_tpu.ops.resize import resize
 
@@ -75,6 +76,23 @@ def init_memory(
     )
 
 
+def encode_keys_batched(model: SWEM, variables, frames: jnp.ndarray):
+    """Key-encode a whole frame stack in one batched conv pass.
+
+    frames: (T, B, H, W, 3) -> per-frame key tuples shaped (T, B, ...).
+
+    The key encoder depends only on the frame (never on the EM memory), so
+    hoisting it out of the sequential frame loop and folding T into the conv
+    batch dim trades nothing for a large MXU-utilization win: 2.9 ms/frame
+    at B=1 vs 0.8 ms/frame at B=16 for the R50 tower at 480x864 on v5e (the
+    per-frame path keeps the MXU idle while weights stream per conv op).
+    """
+    T, B = frames.shape[:2]
+    flat = frames.reshape((T * B,) + frames.shape[2:])
+    keys = model.apply(variables, flat, method="encode_key_ext")
+    return tuple(k.reshape((T, B) + k.shape[1:]) for k in keys)
+
+
 def step(
     model: SWEM,
     variables,
@@ -86,20 +104,25 @@ def step(
     do_memorize: bool = True,
     inject_mask: Optional[jnp.ndarray] = None,
     inject_new: Optional[jnp.ndarray] = None,
+    keys=None,
 ):
     """One inference frame (swem_evaluator.py:72-101).
 
     frame: (B, H, W, 3); active: (B, N) slots live *before* this frame;
     inject_mask/(B,Ho,Wo,N+1) + inject_new/(B,N): ground-truth masks for
     objects appearing at this frame (YTVOS, swem_evaluator.py:124-130).
+    ``keys``: optionally precomputed ``encode_key`` outputs for this frame
+    (see ``encode_keys_batched``).
 
     Returns (mem, pred_idx (B,Ho,Wo) uint8, pred_mask (B,Ho,Wo,N+1)).
     """
     cfg = model.cfg
-    qk16, qv16, s16, s8, s4 = model.apply(variables, frame, method="encode_key")
+    if keys is None:
+        keys = model.apply(variables, frame, method="encode_key_ext")
+    qk16, qv16, s16, skip8, skip4 = keys
     context = model.apply(variables, qk16, qv16, mem, method="match")
     _, pred_mask = model.apply(
-        variables, context, s8, s4, active.astype(jnp.float32), out_size,
+        variables, context, skip8, skip4, active.astype(jnp.float32), out_size,
         method="decode",
     )
 
@@ -118,12 +141,13 @@ def step(
     pred_idx = jnp.argmax(pred_mask, axis=-1).astype(jnp.uint8)
 
     if do_memorize:
-        hard = hard_mask_from_pred(pred_mask)
         in_size = frame.shape[1:3]
         soft_in = resize(pred_mask, in_size, "bilinear")
         mv16 = model.apply(variables, frame, soft_in, s16, method="encode_value")
         h, w = qk16.shape[1:3]
-        em_masks = prepare_em_masks(hard, soft_in, (h, w))
+        # the hard mask enters EM only at 1/16: one-hot after the nearest
+        # resize instead of materializing the (Ho, Wo, N+1) one-hot
+        em_masks = prepare_em_masks_from_idx(pred_idx, soft_in, (h, w))
         mem = em.memorize(
             mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
             n_iters=cfg.num_em_iters, tau=cfg.em_tau, use_pallas=cfg.use_pallas,
@@ -155,15 +179,21 @@ def run_video(
         B = frames.shape[1]
         return jnp.zeros((0, B) + tuple(out_size), jnp.uint8)
 
-    def body(mem, frame):
+    # batch only the scan's frames (slicing a stacked key tensor afterwards
+    # would cost full HBM copies; the lone final frame encodes solo)
+    keys_mid = encode_keys_batched(model, variables, frames[1:-1])
+
+    def body(mem, xs):
+        frame, k = xs
         mem, pred_idx, _ = step(
-            model, variables, mem, frame, active, out_size, do_memorize=True
+            model, variables, mem, frame, active, out_size, do_memorize=True,
+            keys=k,
         )
         return mem, pred_idx
 
-    mem, preds = jax.lax.scan(body, mem0, frames[1:-1])
+    mem, preds = jax.lax.scan(body, mem0, (frames[1:-1], keys_mid))
     _, last_pred, _ = step(
-        model, variables, mem, frames[-1], active, out_size, do_memorize=False
+        model, variables, mem, frames[-1], active, out_size, do_memorize=False,
     )
     return jnp.concatenate([preds, last_pred[None]], axis=0)
 
@@ -189,15 +219,19 @@ def run_video_scores(
         B, n_ch = frames.shape[1], init_mask.shape[-1]
         return jnp.zeros((0, B) + tuple(out_size) + (n_ch,), jnp.float32)
 
-    def body(mem, frame):
+    keys_mid = encode_keys_batched(model, variables, frames[1:-1])
+
+    def body(mem, xs):
+        frame, k = xs
         mem, _, pred_mask = step(
-            model, variables, mem, frame, active, out_size, do_memorize=True
+            model, variables, mem, frame, active, out_size, do_memorize=True,
+            keys=k,
         )
         return mem, pred_mask
 
-    mem, scores = jax.lax.scan(body, mem0, frames[1:-1])
+    mem, scores = jax.lax.scan(body, mem0, (frames[1:-1], keys_mid))
     _, _, last = step(
-        model, variables, mem, frames[-1], active, out_size, do_memorize=False
+        model, variables, mem, frames[-1], active, out_size, do_memorize=False,
     )
     return jnp.concatenate([scores, last[None]], axis=0)
 
@@ -219,16 +253,21 @@ def run_chunk(
 
     Chunking keeps compilation independent of video length: full chunks run
     under one compiled scan, the remainder through a binary ladder of
-    smaller chunks (see ChunkedVideoRunner).
+    smaller chunks (see ChunkedVideoRunner). The chunk's key features are
+    encoded in one batched conv pass before the scan (the key encoder never
+    depends on the memory; see ``encode_keys_batched``).
     """
+    keys = encode_keys_batched(model, variables, frames)
 
-    def body(mem, frame):
+    def body(mem, xs):
+        frame, k = xs
         mem, pred_idx, pred_mask = step(
-            model, variables, mem, frame, active, out_size, do_memorize=True
+            model, variables, mem, frame, active, out_size, do_memorize=True,
+            keys=k,
         )
         return mem, (pred_mask if scores else pred_idx)
 
-    return jax.lax.scan(body, mem, frames)
+    return jax.lax.scan(body, mem, (frames, keys))
 
 
 class ChunkedVideoRunner:

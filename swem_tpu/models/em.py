@@ -306,12 +306,31 @@ def _perm_inv_feat(exp_aff: jnp.ndarray, topl: int) -> jnp.ndarray:
 
     exp_aff: (B, N, 2, Lm, P) non-negative; returns S: (B, N, P, 2*topl)
     with channel order [bg_ratio_0..k-1, (1-bg_ratio)_0..k-1].
+
+    The cumulative feature needs only the sorted top-l *values* (tie order
+    is irrelevant to a prefix sum), so instead of ``lax.top_k`` — whose
+    variadic sort runs along the minor (lane) axis after the transpose and
+    costs ~10ms at eval shapes — the top-l values are extracted by ``topl``
+    argmax-delete rounds along the sublane base axis (Lm stays second-to-
+    minor, P stays in lanes). Measured ~17x faster on v5e at
+    (1,2,2,256,1620) with bit-identical output.
     """
-    # top-l over the base dim, per branch, per pixel
-    top = jax.lax.top_k(jnp.swapaxes(exp_aff, -1, -2), topl)[0]  # (B,N,2,P,topl)
-    feat = jnp.cumsum(top, axis=-1)
-    bg, fg = feat[:, :, 0], feat[:, :, 1]  # branch 0 = bg (swem.py:80-84)
-    ratio = bg / (bg + fg + 1e-30)  # (B, N, P, topl)
+    Lm = exp_aff.shape[3]
+    it = jax.lax.broadcasted_iota(jnp.int32, exp_aff.shape, 3)
+
+    def body(vals, _):
+        m = jnp.max(vals, axis=3, keepdims=True)
+        # delete exactly one element per round (the first of any ties) so
+        # tied values appear at successive ranks like a real sort
+        first = jnp.min(jnp.where(vals == m, it, Lm), axis=3, keepdims=True)
+        vals = jnp.where(it == first, -jnp.inf, vals)
+        return vals, m[:, :, :, 0]
+
+    _, tops = jax.lax.scan(body, exp_aff, None, length=topl)
+    feat = jnp.cumsum(tops, axis=0)  # (topl, B, N, 2, P)
+    bg, fg = feat[:, :, :, 0], feat[:, :, :, 1]  # branch 0 = bg (swem.py:80-84)
+    ratio = bg / (bg + fg + 1e-30)  # (topl, B, N, P)
+    ratio = jnp.moveaxis(ratio, 0, -1)  # (B, N, P, topl)
     return jnp.concatenate([ratio, 1.0 - ratio], axis=-1)
 
 
@@ -352,6 +371,7 @@ def read_memory(
     hw: Optional[Tuple[int, int]] = None,
     p_drop: float = 0.0,
     drop_rng: Optional[jax.Array] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Attention-style memory read (modules.py:232-293).
 
@@ -373,7 +393,18 @@ def read_memory(
     The affinity softmax is normalized jointly over the {bg,fg} x Lm base
     axes per object (modules.py:265-266); invalid bases are masked out of
     both the softmax and the top-l feature.
+
+    ``use_pallas`` routes the affinity/softmax/read through the fused VMEM
+    kernel (ops/read_pallas.py, inference-only — the caller gates on
+    training); the Gaussian-kernel and p_drop variants always take the XLA
+    path.
     """
+    if use_pallas and n_kernel == 0 and not (p_drop > 0.0 and drop_rng is not None):
+        from swem_tpu.ops.read_pallas import read_memory_pallas
+
+        mem_out, exp_aff = read_memory_pallas(qk, mk, mv, base_valid, tau=tau)
+        return mem_out, _perm_inv_feat(exp_aff, topl)
+
     qk = l2norm(qk, axis=-1)
     mk = l2norm(mk, axis=-2)
     aff = _einsum("bnscl,bpc->bnslp", mk, qk)

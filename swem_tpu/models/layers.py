@@ -178,16 +178,28 @@ class UpsampleBlock(nn.Module):
     """Skip-connected x2 upsampling step (networks.py:186-196).
 
     x = skip_conv(skip); x += bilinear_resize(up, skip_size); ResBlock.
+
+    ``skip``/``merge`` split the block at its data dependency: ``skip``
+    depends only on the encoder skip feature (frame-only — it can be
+    computed once per frame and batched across frames), ``merge`` on the
+    sequential decode state. ``__call__`` composes both (used by init and
+    the parity oracle).
     """
 
     up_features: int
     out_features: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.skip_conv = conv3x3(self.up_features, dtype=self.dtype)
+        self.out_conv = ResBlock(self.out_features, dtype=self.dtype)
+
+    def skip(self, skip_f):
+        return self.skip_conv(skip_f)
+
+    def merge(self, skip_x, up_f):
+        up = resize(up_f, (skip_x.shape[-3], skip_x.shape[-2]), "bilinear")
+        return self.out_conv(skip_x + up.astype(skip_x.dtype))
+
     def __call__(self, skip_f, up_f):
-        x = conv3x3(self.up_features, name="skip_conv", dtype=self.dtype)(skip_f)
-        up = resize(up_f, (x.shape[-3], x.shape[-2]), "bilinear")
-        x = x + up.astype(x.dtype)
-        x = ResBlock(self.out_features, name="out_conv", dtype=self.dtype)(x)
-        return x
+        return self.merge(self.skip(skip_f), up_f)

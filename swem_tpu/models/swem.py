@@ -59,6 +59,18 @@ class SWEM(nn.Module):
         qv16 = self.key_comp(s16)
         return qk16, qv16, s16, s8, s4
 
+    def encode_key_ext(self, frame):
+        """``encode_key`` + the decoder's frame-only skip convolutions.
+
+        Returns (qk16, qv16, s16, skip8, skip4). The skip convs depend only
+        on the frame, so the inference engine computes them here — once per
+        frame, batchable across frames — rather than per object inside the
+        sequential decode (see Decoder.skip_feats).
+        """
+        qk16, qv16, s16, s8, s4 = self.encode_key(frame)
+        skip8, skip4 = self.decoder.skip_feats(s8, s4)
+        return qk16, qv16, s16, skip8, skip4
+
     def encode_value(self, frame, masks, s16):
         """Per-object value features (swem.py:45-62).
 
@@ -102,6 +114,7 @@ class SWEM(nn.Module):
             tau=self.cfg.em_tau, topl=self.cfg.topl_eff,
             n_kernel=self.cfg.n_kernel, sigma=self.cfg.kernel_sigma, hw=(h, w),
             p_drop=self.cfg.p_drop if train else 0.0, drop_rng=drop_rng,
+            use_pallas=self.cfg.use_pallas and not train,
         )
         Cv = mem_out.shape[-1]
         qv = jnp.broadcast_to(
@@ -113,10 +126,12 @@ class SWEM(nn.Module):
         context = self.fusion(feats.astype(dtype))
         return context.reshape(B, N, h, w, Cv)
 
-    def decode(self, context, s8, s4, valid_obj, out_size: Tuple[int, int]):
+    def decode(self, context, skip8, skip4, valid_obj, out_size: Tuple[int, int]):
         """Per-object logits -> soft-aggregated multi-object mask (swem.py:92-108).
 
-        context (B,N,h,w,Cv); valid_obj (B,N) or None.
+        context (B,N,h,w,Cv); skip8/skip4: precomputed ``Decoder.skip_feats``
+        outputs at batch B (broadcast over objects here — the broadcast fuses
+        into the merge add); valid_obj (B,N) or None.
         Returns (logits (B,Ho,Wo,N+1), pred_mask (B,Ho,Wo,N+1)).
         """
         B, N = context.shape[:2]
@@ -125,8 +140,9 @@ class SWEM(nn.Module):
             t = jnp.broadcast_to(t[:, None], (B, N) + t.shape[1:])
             return t.reshape((B * N,) + t.shape[2:])
 
-        logit = self.decoder(
-            context.reshape((B * N,) + context.shape[2:]), fold(s8), fold(s4), out_size
+        logit = self.decoder.decode_with_skips(
+            context.reshape((B * N,) + context.shape[2:]), fold(skip8), fold(skip4),
+            out_size,
         )  # (BN, Ho, Wo, 1)
         preds = nn.sigmoid(logit)[..., 0].reshape(B, N, *out_size)
         preds = jnp.moveaxis(preds, 1, -1)  # (B, Ho, Wo, N)
@@ -139,7 +155,7 @@ class SWEM(nn.Module):
     def __call__(self, frame, masks, out_size=None):
         """Init-only forward touching every submodule (for parameter init)."""
         out_size = out_size or frame.shape[1:3]
-        qk16, qv16, s16, s8, s4 = self.encode_key(frame)
+        qk16, qv16, s16, skip8, skip4 = self.encode_key_ext(frame)
         masks_in = resize(masks.astype(jnp.float32), frame.shape[1:3], "nearest")
         mv16 = self.encode_value(frame, masks_in, s16)
         B, h, w, Ck = qk16.shape
@@ -156,7 +172,7 @@ class SWEM(nn.Module):
             n_iters=self.cfg.num_em_iters, tau=self.cfg.em_tau,
         )
         context = self.match(qk16, qv16, mem)
-        return self.decode(context, s8, s4, None, out_size)
+        return self.decode(context, skip8, skip4, None, out_size)
 
 
 def aggregate(prob: jnp.ndarray) -> jnp.ndarray:
@@ -188,14 +204,43 @@ def prepare_em_masks(
     return jnp.moveaxis(stacked, -1, 1).reshape(B, N, 2, h * w)
 
 
+def prepare_em_masks_from_idx(
+    pred_idx: jnp.ndarray, masks_soft: jnp.ndarray, size16: Tuple[int, int]
+) -> jnp.ndarray:
+    """``prepare_em_masks`` from the argmax index map (inference fast path).
+
+    pred_idx: (B, Ho, Wo) integer argmax of the prediction;
+    masks_soft: (B, H, W, N+1). Equivalent to building the full-resolution
+    one-hot and nearest-resizing it (both are per-pixel gathers, so nearest
+    resize commutes with one-hot), but skips the (Ho, Wo, N+1) one-hot
+    materialization — an ~0.8 ms/frame gather+copy at 480p in the round-1
+    profile.
+    """
+    idx16 = resize(pred_idx[..., None], size16, "nearest")[..., 0]
+    n_ch = masks_soft.shape[-1]
+    hard = (
+        idx16[..., None].astype(jnp.int32) == jnp.arange(1, n_ch, dtype=jnp.int32)
+    ).astype(jnp.float32)  # (B, h, w, N)
+    soft = resize(masks_soft[..., 1:].astype(jnp.float32), size16, "bilinear")
+    fg = hard * soft
+    bg = (1.0 - hard) * (1.0 - soft)
+    stacked = jnp.stack([bg, fg], axis=1)  # (B, 2, h, w, N)
+    B, _, h, w, N = stacked.shape
+    return jnp.moveaxis(stacked, -1, 1).reshape(B, N, 2, h * w)
+
+
 def hard_mask_from_pred(pred_mask: jnp.ndarray) -> jnp.ndarray:
     """One-hot argmax over the object axis (swem_trainer.py:80-85).
 
-    pred_mask (B,H,W,N+1) -> one-hot float (B,H,W,N+1).
+    pred_mask (B,H,W,N+1) -> one-hot float (B,H,W,N+1). Built by channel
+    comparison rather than an ``eye``-gather (XLA lowers the gather to a
+    slow scatter-shaped op at 480p; the compare fuses).
     """
     n_ch = pred_mask.shape[-1]
     idx = jnp.argmax(pred_mask, axis=-1)
-    return jnp.eye(n_ch, dtype=pred_mask.dtype)[idx]
+    return (
+        idx[..., None].astype(jnp.int32) == jnp.arange(n_ch, dtype=jnp.int32)
+    ).astype(pred_mask.dtype)
 
 
 def model_feature_dims(cfg: ModelConfig):

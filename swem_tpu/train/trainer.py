@@ -77,7 +77,9 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
 
     logits_list = []
     for i in range(1, T):
-        qk16, qv16, s16, s8, s4 = model.apply(variables, frames[:, i], method="encode_key")
+        qk16, qv16, s16, skip8, skip4 = model.apply(
+            variables, frames[:, i], method="encode_key_ext"
+        )
         # train=True enables p_drop memory dropout (modules.py:258-263) when
         # configured; the 'memdrop' stream is unused (and free) at p_drop=0.
         context = model.apply(
@@ -85,7 +87,8 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
             rngs={"memdrop": jax.random.fold_in(rng, i)},
         )
         logits, pred_mask = model.apply(
-            variables, context, s8, s4, valid_obj[:, 1:], out_size, method="decode"
+            variables, context, skip8, skip4, valid_obj[:, 1:], out_size,
+            method="decode"
         )
         logits_list.append(logits)
         if i < T - 1:

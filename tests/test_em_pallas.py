@@ -44,6 +44,59 @@ def test_kernel_matches_xla(rng, P, n_iters):
     assert z.shape == (2, 2, 2, P, 8)
 
 
+@pytest.mark.parametrize("P", [48, 130])  # non-multiple-of-128 exercises padding
+@pytest.mark.parametrize("masked", [False, True])
+def test_read_kernel_matches_xla(rng, P, masked):
+    """Kernel B (fused read) vs the XLA em.read_memory oracle."""
+    from swem_tpu.ops.read_pallas import read_memory_pallas
+
+    B, N, Ck, Cv, L = 2, 2, 16, 8, 8
+    Lm = 2 * L
+    qk = jnp.asarray(rng.standard_normal((B, P, Ck)).astype(np.float32))
+    mk = jnp.asarray(rng.standard_normal((B, N, 2, Ck, Lm)).astype(np.float32))
+    mv = jnp.asarray(rng.standard_normal((B, N, 2, Cv, Lm)).astype(np.float32))
+    if masked:
+        # second bank invalid (mem_count < 2) for one object, all valid other
+        valid = np.ones((B, N, 2, Lm), bool)
+        valid[:, 0, :, L:] = False
+        valid = jnp.asarray(valid)
+    else:
+        valid = jnp.ones((B, N, 2, Lm), bool)
+    tau, topl = 0.05, 4
+
+    ref_out, ref_S = em.read_memory(qk, mk, mv, valid, tau=tau, topl=topl)
+    mem_out, exp_aff = read_memory_pallas(qk, mk, mv, valid, tau=tau,
+                                          interpret=True)
+    S = em._perm_inv_feat(exp_aff, topl)
+    np.testing.assert_allclose(np.asarray(mem_out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(S), np.asarray(ref_S),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_read_memory_pallas_flag(rng):
+    """read_memory(use_pallas=True) == read_memory(use_pallas=False)."""
+    import swem_tpu.ops.read_pallas as rp
+
+    B, N, P, Ck, Cv, Lm = 1, 2, 40, 16, 8, 16
+    qk = jnp.asarray(rng.standard_normal((B, P, Ck)).astype(np.float32))
+    mk = jnp.asarray(rng.standard_normal((B, N, 2, Ck, Lm)).astype(np.float32))
+    mv = jnp.asarray(rng.standard_normal((B, N, 2, Cv, Lm)).astype(np.float32))
+    valid = jnp.ones((B, N, 2, Lm), bool)
+    ref = em.read_memory(qk, mk, mv, valid, tau=0.05, topl=4)
+
+    orig = rp.read_memory_pallas
+    rp.read_memory_pallas = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        got = em.read_memory(qk, mk, mv, valid, tau=0.05, topl=4,
+                             use_pallas=True)
+    finally:
+        rp.read_memory_pallas = orig
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_em_update_pallas_flag(rng):
     """em_update(use_pallas=True) == em_update(use_pallas=False) end to end."""
     x, v, masks, kappa0, nu0, zita0 = make_inputs(rng, P=64, Ck=16, Cv=8, L=8)
