@@ -60,10 +60,20 @@ def main():
     preds, chk = run(variables, rng, frames, init_mask, active)
     _ = int(np.asarray(chk))  # compile + warmup sync
 
+    # per-run input perturbations are materialized OUTSIDE the timed span:
+    # an eager `frames + eps` between tic and run adds a full host<->device
+    # tunnel round trip (~25 ms here) that has nothing to do with model
+    # throughput
+    variants = []
+    for i in range(5):
+        v = frames + 0.0001 * i
+        np.asarray(v[0, 0, 0, 0])
+        variants.append(v)
+
     fps_runs = []
-    for i in range(3):
+    for v in variants:
         t0 = time.perf_counter()
-        preds, chk = run(variables, rng, frames + 0.0001 * i, init_mask, active)
+        preds, chk = run(variables, rng, v, init_mask, active)
         _ = int(np.asarray(chk))
         dt = time.perf_counter() - t0
         # the reference counts all T frames for the same timed span

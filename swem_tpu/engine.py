@@ -89,7 +89,7 @@ def encode_keys_batched(model: SWEM, variables, frames: jnp.ndarray):
     """
     T, B = frames.shape[:2]
     flat = frames.reshape((T * B,) + frames.shape[2:])
-    keys = model.apply(variables, flat, method="encode_key_ext")
+    keys = model.apply(variables, flat, method="encode_frame")
     return tuple(k.reshape((T, B) + k.shape[1:]) for k in keys)
 
 
@@ -118,8 +118,8 @@ def step(
     """
     cfg = model.cfg
     if keys is None:
-        keys = model.apply(variables, frame, method="encode_key_ext")
-    qk16, qv16, s16, skip8, skip4 = keys
+        keys = model.apply(variables, frame, method="encode_frame")
+    qk16, qv16, s16, skip8, skip4, vf = keys
     context = model.apply(variables, qk16, qv16, mem, method="match")
     _, pred_mask = model.apply(
         variables, context, skip8, skip4, active.astype(jnp.float32), out_size,
@@ -143,7 +143,7 @@ def step(
     if do_memorize:
         in_size = frame.shape[1:3]
         soft_in = resize(pred_mask, in_size, "bilinear")
-        mv16 = model.apply(variables, frame, soft_in, s16, method="encode_value")
+        mv16 = model.apply(variables, frame, soft_in, s16, vf, method="encode_value")
         h, w = qk16.shape[1:3]
         # the hard mask enters EM only at 1/16: one-hot after the nearest
         # resize instead of materializing the (Ho, Wo, N+1) one-hot

@@ -73,22 +73,44 @@ class ValueEncoder(nn.Module):
     valdim: int = 512
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, frame, key_f16, mask_fg, mask_others=None):
-        """frame (B,H,W,3); key_f16 (B,H/16,W/16,Cf); masks (B,H,W,1)."""
-        x = normalize_image(frame, self.dtype)
-        if self.single_object:
-            x = jnp.concatenate([x, mask_fg.astype(self.dtype)], axis=-1)
-        else:
-            x = jnp.concatenate(
-                [x, mask_fg.astype(self.dtype), mask_others.astype(self.dtype)], axis=-1
-            )
+    def setup(self):
         # mod_resnet trunk: bias on every conv (zero at zoo init, trainable)
-        trunk = ResNetTrunk(block="basic", layers=(2, 2, 2), name="trunk",
-                            conv_bias=True, dtype=self.dtype)
-        f16, _, _ = trunk(x)
-        fuser = FeatureFusionBlock(self.valdim, name="fuser", dtype=self.dtype)
-        return fuser(f16, key_f16.astype(self.dtype))
+        self.trunk = ResNetTrunk(
+            block="basic", layers=(2, 2, 2),
+            in_channels=4 if self.single_object else 5,
+            conv_bias=True, dtype=self.dtype,
+        )
+        self.fuser = FeatureFusionBlock(self.valdim, dtype=self.dtype)
+
+    def frame_stem(self, frame):
+        """Frame slice of the stem conv (B,H,W,3) -> (B,H/2,W/2,64).
+
+        Object- and memory-independent, so the inference engine computes it
+        once per frame (batched across frames) and only the mask slice of
+        conv1 runs inside the sequential per-object loop (see
+        resnet.StemConv).
+        """
+        return self.trunk.conv1.frame_part(normalize_image(frame, self.dtype))
+
+    def __call__(self, frame, key_f16, mask_fg, mask_others=None, frame_stem=None):
+        """frame (B,H,W,3); key_f16 (B,H/16,W/16,Cf); masks (B,H,W,1).
+
+        ``frame_stem``: optionally the precomputed ``frame_stem(frame)``
+        output (``frame`` is then unused).
+        """
+        if self.single_object:
+            masks = mask_fg.astype(self.dtype)
+        else:
+            masks = jnp.concatenate(
+                [mask_fg.astype(self.dtype), mask_others.astype(self.dtype)], axis=-1
+            )
+        if frame_stem is None:
+            x = jnp.concatenate([normalize_image(frame, self.dtype), masks], axis=-1)
+            conv1_out = self.trunk.conv1(x)
+        else:
+            conv1_out = frame_stem + self.trunk.conv1.mask_part(masks)
+        f16, _, _ = self.trunk(conv1_out=conv1_out)
+        return self.fuser(f16, key_f16.astype(self.dtype))
 
 
 class KeyProjection(nn.Module):

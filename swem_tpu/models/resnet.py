@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -79,6 +80,57 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class StemConv(nn.Module):
+    """7x7/2 stem convolution with channel-split application.
+
+    Param-compatible with ``nn.Conv`` (kernel (7,7,in,64) HWIO + bias) so
+    converted torchvision / mod_resnet weights load unchanged. Beyond the
+    full ``__call__``, it applies kernel channel slices separately:
+    ``frame_part`` (first 3 input channels + bias) is object- and
+    memory-independent, so the value encoder hoists it out of the per-object
+    per-frame loop; ``mask_part`` (remaining channels, no bias) is the only
+    stem work left in the sequential path. The split is exact up to one
+    f32/bf16 partial-sum reordering (conv1_full = frame_part + mask_part by
+    linearity).
+    """
+
+    in_channels: int
+    features: int = 64
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.he_uniform(),
+            (7, 7, self.in_channels, self.features), jnp.float32,
+        )
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+
+    def _conv(self, x, kernel, with_bias: bool):
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if with_bias and self.use_bias:
+            y = y + self.bias.astype(self.dtype)
+        return y
+
+    def __call__(self, x):
+        return self._conv(x, self.kernel, True)
+
+    def frame_part(self, frame):
+        """Apply the first-3-channel kernel slice (+ bias) to the frame."""
+        return self._conv(frame, self.kernel[:, :, :3, :], True)
+
+    def mask_part(self, masks):
+        """Apply the remaining-channel kernel slice (no bias) to the masks."""
+        return self._conv(masks, self.kernel[:, :, 3:, :], False)
+
+
 class ResNetTrunk(nn.Module):
     """ResNet through layer3, returning (f16, f8, f4) pyramid features.
 
@@ -96,20 +148,28 @@ class ResNetTrunk(nn.Module):
     conv_bias: bool = False
     dtype: Any = jnp.float32
 
+    def setup(self):
+        # conv1/bn1 as setup attributes so split-stem entry points can reuse
+        # them; the residual stages stay in the compact __call__ (their
+        # layer{stage}_{block} names are assigned there)
+        self.conv1 = StemConv(self.in_channels, use_bias=self.conv_bias,
+                              dtype=self.dtype)
+        self.bn1 = FrozenBatchNorm(64, dtype=self.dtype)
+
+    def stem_rest(self, conv1_out):
+        """bn -> relu -> maxpool on a (possibly pre-split) conv1 output."""
+        x = nn.relu(self.bn1(conv1_out))
+        # torch MaxPool2d(3, 2, padding=1): -inf padding
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
     @nn.compact
-    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x=None, *, conv1_out=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = 1 if self.block == "basic" else 4
 
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=self.conv_bias, name="conv1", dtype=self.dtype,
-            kernel_init=nn.initializers.he_uniform(),
-        )(x)
-        x = FrozenBatchNorm(64, name="bn1", dtype=self.dtype)(x)
-        x = nn.relu(x)
-        # torch MaxPool2d(3, 2, padding=1): -inf padding
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if conv1_out is None:
+            conv1_out = self.conv1(x)
+        x = self.stem_rest(conv1_out)
 
         feats = []
         planes = 64

@@ -59,23 +59,27 @@ class SWEM(nn.Module):
         qv16 = self.key_comp(s16)
         return qk16, qv16, s16, s8, s4
 
-    def encode_key_ext(self, frame):
-        """``encode_key`` + the decoder's frame-only skip convolutions.
+    def encode_frame(self, frame):
+        """All frame-only (memory-independent) features in one pass.
 
-        Returns (qk16, qv16, s16, skip8, skip4). The skip convs depend only
-        on the frame, so the inference engine computes them here — once per
-        frame, batchable across frames — rather than per object inside the
-        sequential decode (see Decoder.skip_feats).
+        Returns (qk16, qv16, s16, skip8, skip4, vf): ``encode_key`` outputs,
+        the decoder's skip convolutions (Decoder.skip_feats) and the value
+        encoder's stem-conv frame slice (ValueEncoder.frame_stem). None of
+        these depend on the EM memory or predictions, so the inference
+        engine computes them here — once per frame, batchable across frames
+        — instead of per object inside the sequential loop.
         """
         qk16, qv16, s16, s8, s4 = self.encode_key(frame)
         skip8, skip4 = self.decoder.skip_feats(s8, s4)
-        return qk16, qv16, s16, skip8, skip4
+        vf = self.value_encoder.frame_stem(frame)
+        return qk16, qv16, s16, skip8, skip4, vf
 
-    def encode_value(self, frame, masks, s16):
+    def encode_value(self, frame, masks, s16, vf=None):
         """Per-object value features (swem.py:45-62).
 
         frame (B,H,W,3); masks (B,H,W,N+1) soft, channel 0 = bg;
-        s16 (B,h16,w16,Cf). Returns mv16 (B,N,h16,w16,valdim).
+        s16 (B,h16,w16,Cf); vf: optional precomputed stem frame slice
+        (ValueEncoder.frame_stem). Returns mv16 (B,N,h16,w16,valdim).
         Objects are folded into the batch dim (the reference's
         expand+flatten), so one conv tower runs for all objects.
         """
@@ -89,10 +93,15 @@ class SWEM(nn.Module):
         def fold(t):
             return t.reshape((B * N,) + t.shape[2:])
 
+        vf_n = None
+        if vf is not None:
+            vf_n = fold(jnp.broadcast_to(vf[:, None], (B, N) + vf.shape[1:]))
         if self.cfg.single_object:
-            mv = self.value_encoder(fold(frame_n), fold(s16_n), fold(mask_fg))
+            mv = self.value_encoder(fold(frame_n), fold(s16_n), fold(mask_fg),
+                                    frame_stem=vf_n)
         else:
-            mv = self.value_encoder(fold(frame_n), fold(s16_n), fold(mask_fg), fold(mask_ot))
+            mv = self.value_encoder(fold(frame_n), fold(s16_n), fold(mask_fg),
+                                    fold(mask_ot), frame_stem=vf_n)
         return mv.reshape((B, N) + mv.shape[1:])
 
     def match(self, qk16, qv16, mem: em.VOSMemory, train: bool = False):
@@ -155,7 +164,7 @@ class SWEM(nn.Module):
     def __call__(self, frame, masks, out_size=None):
         """Init-only forward touching every submodule (for parameter init)."""
         out_size = out_size or frame.shape[1:3]
-        qk16, qv16, s16, skip8, skip4 = self.encode_key_ext(frame)
+        qk16, qv16, s16, skip8, skip4, _vf = self.encode_frame(frame)
         masks_in = resize(masks.astype(jnp.float32), frame.shape[1:3], "nearest")
         mv16 = self.encode_value(frame, masks_in, s16)
         B, h, w, Ck = qk16.shape

@@ -77,8 +77,8 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
 
     logits_list = []
     for i in range(1, T):
-        qk16, qv16, s16, skip8, skip4 = model.apply(
-            variables, frames[:, i], method="encode_key_ext"
+        qk16, qv16, s16, skip8, skip4, vf = model.apply(
+            variables, frames[:, i], method="encode_frame"
         )
         # train=True enables p_drop memory dropout (modules.py:258-263) when
         # configured; the 'memdrop' stream is unused (and free) at p_drop=0.
@@ -93,7 +93,8 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
         logits_list.append(logits)
         if i < T - 1:
             hard = hard_mask_from_pred(pred_mask)
-            mv16 = model.apply(variables, frames[:, i], pred_mask, s16, method="encode_value")
+            mv16 = model.apply(variables, frames[:, i], pred_mask, s16, vf,
+                               method="encode_value")
             em_masks = prepare_em_masks(hard, pred_mask, (h, w))
             mem = em.memorize(
                 mem,
