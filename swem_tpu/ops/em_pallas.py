@@ -17,12 +17,17 @@ Per-block softmax/W-step reductions use static Python loops over the N*2
 L-sized column blocks (branch-probability coupling per object,
 modules.py:93-110). Semantics match em.py::_e_step/_m_step/_w_step.
 
-Status (measured on v5e, flagship shapes P=1620, Ck=L=128, N=2, f32):
-this kernel runs ~6.8ms standalone vs ~2.4ms for the XLA path — XLA's
-fusion + pipelining already handles these small-GEMM chains well, and the
-EM loop is <1ms inside the whole-video scan. The kernel therefore stays an
-experimental path behind ModelConfig.use_pallas (default False); it becomes
-interesting at larger L / object counts where the packed GEMMs grow.
+Status (measured on v5e):
+- inference shapes (P=1620, Ck=L=128, N=2, f32): ~6.8ms standalone vs
+  ~2.4ms for the XLA path — XLA's fusion + pipelining already handles
+  these small-GEMM chains well, and the EM loop is <1ms inside the
+  whole-video scan.
+- training shapes (B=8, T=3, 384^2 -> P=576, bf16 towers): full train
+  step 250.4 ms/step with the kernel vs 247.3 ms/step XLA (identical
+  loss) — the EM loop is a negligible share of the step at either shape.
+The kernel therefore stays an experimental path behind
+ModelConfig.use_pallas (default False); it becomes interesting at larger
+L / object counts where the packed GEMMs grow.
 Note also that f32 matmul chains under tau=0.05 exponentials are chaotic:
 individual prototypes may diverge between backends while representing the
 same distribution (see tests/test_em_pallas.py tolerances).
@@ -121,7 +126,41 @@ def em_loop_pallas(
 
     x (B, P, Ck); masks (B, N, 2, P); kappa0 (B, N, 2, Ck, L);
     zita0 (B, N, 2, 1, L) -> (z (B,N,2,P,L), kappa, zita).
+
+    The whole loop is non-differentiable by SWEM semantics (@torch.no_grad
+    on swe/swm/sww — em.em_update wraps the result in stop_gradient), but
+    reverse-mode tracing still tries to linearize through pallas_call, which
+    has no autodiff rule. A custom_vjp with zero cotangents makes the kernel
+    trainable-code-path safe while preserving those semantics.
     """
+    specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+             for a in (x, masks, kappa0, zita0)]
+
+    @jax.custom_vjp
+    def call(x, masks, kappa0, zita0):
+        return _em_loop_impl(x, masks, kappa0, zita0,
+                             n_iters=n_iters, tau=tau, interpret=interpret)
+
+    def fwd(x, masks, kappa0, zita0):
+        return call(x, masks, kappa0, zita0), None
+
+    def bwd(_, __):
+        return tuple(jnp.zeros(s.shape, s.dtype) for s in specs)
+
+    call.defvjp(fwd, bwd)
+    return call(x, masks, kappa0, zita0)
+
+
+def _em_loop_impl(
+    x: jnp.ndarray,
+    masks: jnp.ndarray,
+    kappa0: jnp.ndarray,
+    zita0: jnp.ndarray,
+    *,
+    n_iters: int,
+    tau: float,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, P, Ck = x.shape
     N = masks.shape[1]
     L = kappa0.shape[-1]

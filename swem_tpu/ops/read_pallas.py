@@ -22,6 +22,17 @@ round-trip of exp_aff (~7 MB at eval shapes) costs ~20 us.
 Gradients: inference-only (``ModelConfig.use_pallas`` routes the read here
 only outside training; the XLA path remains the oracle and the training
 path).
+
+Status (measured on v5e, flagship eval shapes B=1, P=1620, Ck=128, Cv=512,
+N=2, Lm=256, f32, scan-amortized): 1.08 ms/read through this kernel vs
+0.91 ms/read for the XLA path (both including the shared top-l feature).
+The kernel body itself is fast, but the wrapper must pack mk/mv into wide
+GEMM layouts and relayout exp_aff from (P, G*Lm) back to the (.., Lm, P)
+layout the top-l extraction wants — those transposes cost more than the
+fused softmax saves, and XLA's own einsum+fusion pipeline already keeps
+the affinity chain off HBM. Kept flag-gated off as a documented negative
+result (VERDICT r1 item 3); revisit if the read layout ever becomes
+channel-major end to end.
 """
 
 from __future__ import annotations
