@@ -226,6 +226,54 @@ class TestEvaluatorE2E:
         m2 = np.array(Image.open(os.path.join(ev.out_root, name, "00002.png")))
         assert (m2 == 3).sum() > 0
 
+    def test_verify_parity_runbook(self, fake_davis, tmp_path_factory, monkeypatch):
+        """scripts/verify_parity.py end to end: orbax checkpoint -> eval ->
+        CSV -> self-diff gate passes with |diff| = 0."""
+        import importlib.util
+        import sys as _sys
+
+        from swem_tpu.io.checkpoint import save_params
+        from swem_tpu.models.swem import SWEM
+
+        model_cfg = ModelConfig(
+            backbone="resnet18", keydim=8, valdim=16, num_bases=4,
+            num_em_iters=2, topl=2, max_objs=4, mdim=16,
+        )
+        model = SWEM(model_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), jnp.zeros((1, H, W, 5)),
+        )
+        ckpt = str(tmp_path_factory.mktemp("ckpt") / "vars")
+        save_params(ckpt, variables)
+
+        spec = importlib.util.spec_from_file_location(
+            "verify_parity",
+            os.path.join(os.path.dirname(__file__), "..", "scripts", "verify_parity.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        log_dir = str(tmp_path_factory.mktemp("logs_vp"))
+        base_argv = [
+            "verify_parity.py", "--ref_ckpt", ckpt, "--davis_root", fake_davis,
+            "--eval_set", "DAVIS17", "--backbone", "resnet18",
+            "--key_dim", "8", "--val_dim", "16", "--num_bases", "4",
+            "--top_l", "2", "--max_objs", "4", "--mdim", "16",
+            "--em_iters", "2", "--chunk", "2", "--davis_in_size", "64", "96",
+            "--log_dir", log_dir,
+        ]
+        # first run: no ref CSV -> evaluates, writes our CSV, exit 0
+        monkeypatch.setattr(_sys, "argv", base_argv)
+        assert mod.main() == 0
+        ours = os.path.join(
+            log_dir, "SWEM", "S0", "verify_parity", "results", "DAVIS17",
+            "global_results-DAVIS17.csv",
+        )
+        assert os.path.exists(ours)
+        # second run: self-diff -> |dJ&F| == 0 -> gate passes
+        monkeypatch.setattr(_sys, "argv", base_argv + ["--ref_csv", ours])
+        assert mod.main() == 0
+
     def test_multi_scale_flip_runs(self, fake_davis, tmp_path_factory):
         """Multi-scale + flip path completes and writes every frame."""
         from swem_tpu.eval.evaluator import Evaluator
