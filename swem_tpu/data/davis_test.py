@@ -95,12 +95,20 @@ class DavisTestSet:
         )
 
     def peek(self, idx: int):
-        """(name, out_size) from file headers only — no frame decoding."""
+        """(name, out_size, n_objs, n_frames) without decoding any frames.
+
+        Reads only the first annotation PNG (tiny, palette-indexed) and the
+        frame-file listing — enough for the throughput mode to group videos
+        by (out_size, slot bucket) and sort by length before batching.
+        """
         name = self.videos[idx]
         mask0 = sorted(glob(os.path.join(self.root, "Annotations", "480p", name, "*.png")))[0]
-        with Image.open(mask0) as m:
-            w, h = m.size
-        return name, (h, w)
+        label0 = load_label(mask0)
+        if self.single_obj:
+            label0 = (label0 > 0).astype(np.uint8)
+        n_objs = int(label0.max())
+        n_frames = len(glob(os.path.join(self.root, "JPEGImages", "480p", name, "*.jpg")))
+        return name, label0.shape, n_objs, n_frames
 
     def __iter__(self) -> Iterator[DavisVideo]:
         for i in range(len(self)):

@@ -173,24 +173,29 @@ class Evaluator:
     def evaluate_davis_batched(self, vb: int):
         """Throughput mode: run ``vb`` videos per device batch.
 
-        Videos sharing an output size are grouped, padded to a common length
-        by repeating each video's final frame (extra predictions are
-        discarded; padded frames only touch their own video's memory), and
-        run through the chunked-scan runner with batch dim vb. A TPU-native
+        Videos sharing (output size, slot bucket) are grouped, sorted by
+        length (so batch-mates pad minimally), padded to a common length by
+        repeating each video's final frame (extra predictions are discarded;
+        padded frames only touch their own video's memory), and run through
+        a slot-bucketed chunked-scan runner with batch dim vb. A TPU-native
         capability the strictly-sequential reference lacks — per-video
         results are identical to the B=1 path.
         """
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
-        # group by output size from file headers only; videos are decoded
-        # one batch at a time (a full eager pass would hold the whole
-        # dataset's frame stacks in host RAM)
+        # group by (output size, slot bucket) from file headers only —
+        # videos are decoded one batch at a time (a full eager pass would
+        # hold the whole dataset's frame stacks in host RAM) — and sort each
+        # group by length so batch-mates pad minimally against each other
         groups: Dict[tuple, list] = {}
         for idx in range(len(self.dataset)):
-            _, out_size = self.dataset.peek(idx)
-            groups.setdefault(out_size, []).append(idx)
+            _, out_size, n_objs, n_frames = self.dataset.peek(idx)
+            bucket = self._slot_bucket(n_objs)
+            groups.setdefault((out_size, bucket), []).append((idx, n_frames))
 
-        for key, indices in groups.items():
+        for (out_size, bucket), items in groups.items():
+            items.sort(key=lambda t: t[1])
+            indices = [t[0] for t in items]
             for i in range(0, len(indices), vb):
                 batch_videos = [self.dataset[j] for j in indices[i : i + vb]]
                 B = len(batch_videos)
@@ -202,11 +207,13 @@ class Evaluator:
                     ) if v.frames.shape[0] < T_max else v.frames
                     for v in batch_videos
                 ], axis=1)  # (T_max, B, H, W, 3)
-                init_mask = jnp.asarray(np.stack([v.init_mask for v in batch_videos]))
-                active = np.zeros((B, self.n_slots), bool)
+                init_mask = jnp.asarray(np.stack(
+                    [v.init_mask[..., : bucket + 1] for v in batch_videos]
+                ))
+                active = np.zeros((B, bucket), bool)
                 for b, v in enumerate(batch_videos):
                     active[b, : v.n_objs] = True
-                runner = self._runner((Ho, Wo), batch=B)
+                runner = self._runner((Ho, Wo), batch=B, n_slots=bucket)
                 in_frames = self._resize_davis(jnp.asarray(frames))
                 np.asarray(in_frames[0, 0, 0, 0])  # sync fence, no bulk copy
                 fps.tic()
