@@ -50,6 +50,24 @@ class TestModules:
         assert pred.shape == (1, 64, 64, 3)
         np.testing.assert_allclose(np.asarray(pred).sum(-1), 1.0, rtol=1e-5)
 
+    def test_split_stem_matches_full_conv(self, model_and_vars):
+        """encode_value with a precomputed frame_stem (hoisted StemConv
+        frame slice) equals the monolithic 5-channel conv path."""
+        model, variables = model_and_vars
+        rng = np.random.default_rng(7)
+        frames, init_mask, _ = make_video(rng)
+        _, _, s16, _, _, vf = model.apply(variables, frames[0],
+                                          method="encode_frame")
+        masks = init_mask.astype(jnp.float32)
+        full = model.apply(variables, frames[0], masks, s16,
+                           method="encode_value")
+        split = model.apply(variables, frames[0], masks, s16, vf,
+                            method="encode_value")
+        # the split reorders conv partial sums; deviations then amplify
+        # through the trunk's f32 chain — tolerance covers the tail
+        np.testing.assert_allclose(np.asarray(split), np.asarray(full),
+                                   rtol=1e-3, atol=1e-4)
+
     def test_aggregate_matches_reference_formula(self):
         rng = np.random.default_rng(2)
         p = rng.random((2, 5, 5, 3)).astype(np.float32)
