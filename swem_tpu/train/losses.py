@@ -30,9 +30,16 @@ def _mask_logits(logits: jnp.ndarray, valid_obj: Optional[jnp.ndarray]) -> jnp.n
 
 def pixel_ce(logits: jnp.ndarray, target: jnp.ndarray,
              valid_obj: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Per-pixel cross entropy restricted to valid channels. (B,T,H,W)."""
+    """Per-pixel cross entropy restricted to valid channels. (B,T,H,W).
+
+    The target log-prob is selected by one-hot multiply-sum over the small
+    channel axis rather than ``take_along_axis``: XLA lowers the 1-element
+    gather (and its backward scatter) to flat serialized ops costing tens of
+    ms at training shapes; the compare+sum fuses into the log_softmax.
+    """
     logp = jax.nn.log_softmax(_mask_logits(logits, valid_obj), axis=-1)
-    return -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(target, logits.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)
 
 
 def bootstrap_fraction(it: jnp.ndarray, start_warm: int, end_warm: int,
@@ -46,22 +53,65 @@ def bootstrap_fraction(it: jnp.ndarray, start_warm: int, end_warm: int,
     return jnp.where(it < start_warm, 1.0, frac)
 
 
+def _kth_largest_nonneg(rows: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Exact per-row k-th largest of non-negative f32 rows, sort-free.
+
+    Non-negative IEEE-754 floats order like their bit patterns, so the k-th
+    largest is found by setting the 32 bits of its pattern from the MSB
+    down: keep a candidate bit iff at least ``k`` elements are >= it. 32
+    compare+reduce passes instead of a sort — and, unlike sort, nothing
+    here needs a backward permutation (the result is used under
+    stop-gradient semantics).
+
+    rows: (R, P) f32 >= 0; k: () or (R,) int32 in [1, P].
+    Returns (R,) f32 — the exact k-th largest value of each row.
+    """
+    bits = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+    R = rows.shape[0]
+    t = jnp.zeros((R,), jnp.uint32)
+    for b in range(31, -1, -1):
+        cand = t | jnp.uint32(1 << b)
+        cnt = jnp.sum((bits >= cand[:, None]).astype(jnp.int32), axis=-1)
+        t = jnp.where(cnt >= k, cand, t)
+    return jax.lax.bitcast_convert_type(t, jnp.float32)
+
+
 def bootstrapped_ce(logits, target, it, valid_obj=None, *,
                     start_warm=20000, end_warm=70000, top_p=0.30):
     """Bootstrapped CE (bce_losses.py:7-50): mean over the top-p hardest pixels.
 
-    Dynamic k under jit: sort pixel losses descending and average the first
-    k = floor(HW * p) via a rank mask (k is traced; shapes stay static).
+    Dynamic k under jit with NO sort: the per-row top-k sum equals
+    ``sum(raw * (raw > t)) + t * (k - count(raw > t))`` where ``t`` is the
+    exact k-th largest pixel loss (found bit-bisection style, see
+    ``_kth_largest_nonneg``) — exact under ties, since the duplicate slots
+    are filled by ``t`` itself. A full ``jnp.sort`` at training shapes cost
+    16.6 ms forward (variadic, with iota companions for the autodiff
+    permutation) plus a backward scatter; the threshold form is a handful
+    of fused compare/sum passes. Exactly k pixels are selected at weight
+    1/k, matching the sort/topk gradient structure: every pixel above the
+    threshold, plus the first (in memory order) k - count(>t) of the
+    t-valued pixels — the same "arbitrary tie subset" semantics as
+    torch.topk, which only matters at random init where aggregation
+    clamping saturates many pixels to identical CE values.
     Returns (loss, p).
     """
     B, T, H, W = target.shape
-    raw = pixel_ce(logits, target, valid_obj).reshape(B, T, H * W)
+    # +0.0 normalizes any -0.0 pixels (bit-pattern ordering needs +0.0)
+    raw = pixel_ce(logits, target, valid_obj).reshape(B, T, H * W) + 0.0
     p = bootstrap_fraction(it, start_warm, end_warm, top_p)
     k = jnp.floor(H * W * p).astype(jnp.int32)
-    sorted_desc = -jnp.sort(-raw, axis=-1)
-    ranks = jnp.arange(H * W)
-    sel = (ranks[None, None, :] < k).astype(raw.dtype)
-    loss = jnp.sum(sorted_desc * sel) / (B * T * jnp.maximum(k, 1))
+    t = _kth_largest_nonneg(
+        jax.lax.stop_gradient(raw).reshape(B * T, H * W), k
+    ).reshape(B, T, 1)
+    sel_gt = raw > t
+    sel_eq = raw == t
+    cnt_gt = jnp.sum(sel_gt.astype(jnp.int32), axis=-1, keepdims=True)
+    eq_rank = jnp.cumsum(sel_eq.astype(jnp.int32), axis=-1)  # 1-based
+    sel = jnp.logical_or(
+        sel_gt, jnp.logical_and(sel_eq, eq_rank <= k - cnt_gt)
+    ).astype(raw.dtype)
+    topk_sum = jnp.sum(raw * sel, axis=-1)
+    loss = jnp.sum(topk_sum) / (B * T * jnp.maximum(k, 1))
     return loss, p
 
 
