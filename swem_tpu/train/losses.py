@@ -191,6 +191,29 @@ def lovasz_softmax_loss(logits, target, valid_obj=None):
     return jnp.mean(jax.vmap(per_image)(probas, labels, vmask))
 
 
+def lovasz_hinge_loss(logits, labels):
+    """Binary Lovász hinge, flattened over the batch (lovasz_losses.py:76-112,
+    per_image=False, no ignore class).
+
+    logits: (...,) real-valued scores; labels: (...,) {0,1}. No reference
+    config ever calls this (loss_map exposes only lovasz_softmax as aux) —
+    ported for loss-surface completeness.
+    """
+    logits = logits.reshape(-1)
+    labels = labels.reshape(-1).astype(logits.dtype)
+    signs = 2.0 * labels - 1.0
+    errors = 1.0 - logits * jax.lax.stop_gradient(signs)
+    order = jnp.argsort(-errors)
+    errors_sorted = errors[order]
+    gt_sorted = labels[order]
+    grad = _lovasz_grad(gt_sorted)
+    return jnp.dot(nn_relu(errors_sorted), jax.lax.stop_gradient(grad))
+
+
+def nn_relu(x):
+    return jnp.maximum(x, 0.0)
+
+
 MAIN_LOSSES = {"ce": plain_ce, "boots_ce": bootstrapped_ce}
 AUX_LOSSES = {"iou": mask_iou_loss, "lovasz": lovasz_softmax_loss}
 

@@ -203,6 +203,22 @@ class TestLossesAgainstReference:
             assert abs(float(p_j) - float(p_t)) < 1e-6
             np.testing.assert_allclose(float(loss_j), loss_t, rtol=1e-5)
 
+    def test_lovasz_hinge(self, rng):
+        ref_mod = _load_ref("ref_lovasz", "losses/lovasz_losses.py")
+
+        P = 300
+        logits = rng.standard_normal(P).astype(np.float32) * 2
+        labels = (rng.random(P) > 0.6).astype(np.int64)
+        with torch.no_grad():
+            ref = float(ref_mod.lovasz_hinge(
+                torch.from_numpy(logits).view(1, 10, 30),
+                torch.from_numpy(labels).view(1, 10, 30), per_image=False,
+            ))
+        ours = float(jl.lovasz_hinge_loss(
+            jnp.asarray(logits), jnp.asarray(labels.astype(np.int32))
+        ))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
     def test_mask_iou(self, rng):
         mask_iou_loss = _load_ref("ref_losses", "losses/bce_losses.py").mask_iou_loss
 
