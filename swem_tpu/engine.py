@@ -141,19 +141,30 @@ def step(
     pred_idx = jnp.argmax(pred_mask, axis=-1).astype(jnp.uint8)
 
     if do_memorize:
-        in_size = frame.shape[1:3]
-        soft_in = resize(pred_mask, in_size, "bilinear")
-        mv16 = model.apply(variables, frame, soft_in, s16, vf, method="encode_value")
-        h, w = qk16.shape[1:3]
-        # the hard mask enters EM only at 1/16: one-hot after the nearest
-        # resize instead of materializing the (Ho, Wo, N+1) one-hot
-        em_masks = prepare_em_masks_from_idx(pred_idx, soft_in, (h, w))
-        mem = em.memorize(
-            mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
-            n_iters=cfg.num_em_iters, tau=cfg.em_tau, use_pallas=cfg.use_pallas,
+        mem = _memorize_from_pred(
+            model, variables, mem, frame, active, qk16, s16, vf,
+            pred_idx, pred_mask,
         )
 
     return mem, pred_idx, pred_mask
+
+
+def _memorize_from_pred(model, variables, mem, frame, active,
+                        qk16, s16, vf, pred_idx, pred_mask):
+    """Value-encode the predicted mask and EM-update the memory
+    (swem_evaluator.py:91-93 re-encode + memorize)."""
+    cfg = model.cfg
+    in_size = frame.shape[1:3]
+    soft_in = resize(pred_mask, in_size, "bilinear")
+    mv16 = model.apply(variables, frame, soft_in, s16, vf, method="encode_value")
+    h, w = qk16.shape[1:3]
+    # the hard mask enters EM only at 1/16: one-hot after the nearest
+    # resize instead of materializing the (Ho, Wo, N+1) one-hot
+    em_masks = prepare_em_masks_from_idx(pred_idx, soft_in, (h, w))
+    return em.memorize(
+        mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
+        n_iters=cfg.num_em_iters, tau=cfg.em_tau, use_pallas=cfg.use_pallas,
+    )
 
 
 def run_video(
@@ -170,32 +181,20 @@ def run_video(
     frames: (T, B, H, W, 3); init_mask: (B, Ho, Wo, N+1); active: (B, N).
     Returns pred indices (T-1, B, Ho, Wo) uint8 for frames 1..T-1.
 
-    The final frame is peeled out of the scan and decoded without the
-    memorize pass, like the reference (swem_evaluator.py:90-93) — the
+    The final frame's memorize is skipped via run_chunk's traced
+    ``final_mask``, like the reference (swem_evaluator.py:90-93) — the
     post-video memory is never read, so this is a pure speed win.
     """
     mem0 = init_memory(model, variables, rng, frames[0], init_mask, active)
-    if frames.shape[0] == 1:
+    T = frames.shape[0]
+    if T == 1:
         B = frames.shape[1]
         return jnp.zeros((0, B) + tuple(out_size), jnp.uint8)
 
-    # batch only the scan's frames (slicing a stacked key tensor afterwards
-    # would cost full HBM copies; the lone final frame encodes solo)
-    keys_mid = encode_keys_batched(model, variables, frames[1:-1])
-
-    def body(mem, xs):
-        frame, k = xs
-        mem, pred_idx, _ = step(
-            model, variables, mem, frame, active, out_size, do_memorize=True,
-            keys=k,
-        )
-        return mem, pred_idx
-
-    mem, preds = jax.lax.scan(body, mem0, (frames[1:-1], keys_mid))
-    _, last_pred, _ = step(
-        model, variables, mem, frames[-1], active, out_size, do_memorize=False,
-    )
-    return jnp.concatenate([preds, last_pred[None]], axis=0)
+    final = jnp.arange(T - 1) == T - 2
+    _, preds = run_chunk(model, variables, mem0, frames[1:], active, out_size,
+                         final_mask=final)
+    return preds
 
 
 def run_video_scores(
@@ -211,29 +210,19 @@ def run_video_scores(
 
     Like ``run_video`` but stacks pred_mask (T-1, B, Ho, Wo, N+1); the
     evaluator averages scores over scales/flips before the argmax
-    (swem_evaluator.py:34-57). The final frame is decode-only, matching
-    the reference (swem_evaluator.py:90-93) and ``run_video``.
+    (swem_evaluator.py:34-57). The final frame's memorize is skipped,
+    matching the reference (swem_evaluator.py:90-93) and ``run_video``.
     """
     mem0 = init_memory(model, variables, rng, frames[0], init_mask, active)
-    if frames.shape[0] == 1:
+    T = frames.shape[0]
+    if T == 1:
         B, n_ch = frames.shape[1], init_mask.shape[-1]
         return jnp.zeros((0, B) + tuple(out_size) + (n_ch,), jnp.float32)
 
-    keys_mid = encode_keys_batched(model, variables, frames[1:-1])
-
-    def body(mem, xs):
-        frame, k = xs
-        mem, _, pred_mask = step(
-            model, variables, mem, frame, active, out_size, do_memorize=True,
-            keys=k,
-        )
-        return mem, pred_mask
-
-    mem, scores = jax.lax.scan(body, mem0, (frames[1:-1], keys_mid))
-    _, _, last = step(
-        model, variables, mem, frames[-1], active, out_size, do_memorize=False,
-    )
-    return jnp.concatenate([scores, last[None]], axis=0)
+    final = jnp.arange(T - 1) == T - 2
+    _, scores = run_chunk(model, variables, mem0, frames[1:], active, out_size,
+                          scores=True, final_mask=final)
+    return scores
 
 
 def run_chunk(
@@ -244,12 +233,20 @@ def run_chunk(
     active: jnp.ndarray,
     out_size: Tuple[int, int],
     scores: bool = False,
+    final_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[em.VOSMemory, jnp.ndarray]:
     """Scan a fixed-size chunk of frames, carrying the memory.
 
     frames: (C, B, H, W, 3). Returns (mem, preds) with preds either
     (C, B, Ho, Wo) uint8 indices or, with ``scores``, (C, B, Ho, Wo, N+1)
     f32 soft masks (multi-scale/flip averaging needs the scores).
+
+    ``final_mask`` (C,) bool marks the video's true final frame: its
+    memorize is skipped under a traced ``lax.cond`` (the post-video memory
+    is never read, swem_evaluator.py:90-93). A traced flag — rather than a
+    separate decode-only program — keeps one compiled scan per chunk size
+    AND avoids the solo final step, whose standalone decode picked
+    pathological layouts (~15 ms/video in the round-2 trace).
 
     Chunking keeps compilation independent of video length: full chunks run
     under one compiled scan, the remainder through a binary ladder of
@@ -258,27 +255,42 @@ def run_chunk(
     depends on the memory; see ``encode_keys_batched``).
     """
     keys = encode_keys_batched(model, variables, frames)
+    if final_mask is None:
+        final_mask = jnp.zeros((frames.shape[0],), bool)
 
     def body(mem, xs):
-        frame, k = xs
-        mem, pred_idx, pred_mask = step(
-            model, variables, mem, frame, active, out_size, do_memorize=True,
-            keys=k,
+        frame, k, is_final = xs
+        qk16, qv16, s16, skip8, skip4, vf = k
+        context = model.apply(variables, qk16, qv16, mem, method="match")
+        _, pred_mask = model.apply(
+            variables, context, skip8, skip4, active.astype(jnp.float32),
+            out_size, method="decode",
+        )
+        pred_idx = jnp.argmax(pred_mask, axis=-1).astype(jnp.uint8)
+        mem = jax.lax.cond(
+            is_final,
+            lambda m: m,
+            lambda m: _memorize_from_pred(
+                model, variables, m, frame, active, qk16, s16, vf,
+                pred_idx, pred_mask,
+            ),
+            mem,
         )
         return mem, (pred_mask if scores else pred_idx)
 
-    return jax.lax.scan(body, mem, (frames, keys))
+    return jax.lax.scan(body, mem, (frames, keys, final_mask))
 
 
 class ChunkedVideoRunner:
     """Compile-once-per-(chunk,out_size) whole-video inference.
 
     Avoids per-frame dispatch overhead, per-video-length recompilation, AND
-    wasted tail compute: frames 1..T-2 run through fixed-size scan chunks —
+    wasted tail compute: frames 1..T-1 run through fixed-size scan chunks —
     the remainder through a binary ladder of power-of-two chunks (exact
-    binary decomposition, zero padded frames) — and the final frame is
-    decode-only (the post-video memorize is never read,
-    swem_evaluator.py:90-93).
+    binary decomposition, zero padded frames) — and the final frame's
+    memorize is skipped via a traced flag inside its chunk (the post-video
+    memory is never read, swem_evaluator.py:90-93; see run_chunk's
+    ``final_mask``).
 
     ``scores=True`` emits (T-1, B, Ho, Wo, N+1) f32 soft masks as a device
     array (the multi-scale/flip path accumulates on device and only ships
@@ -300,14 +312,11 @@ class ChunkedVideoRunner:
             lambda v, r, f, m, a: init_memory(model, v, r, pre(f), m, a)
         )
         self._chunk = jax.jit(
-            lambda v, mem, f, a: run_chunk(model, v, mem, pre(f), a, out_size,
-                                           scores=scores),
+            lambda v, mem, f, a, fin: run_chunk(
+                model, v, mem, pre(f), a, out_size, scores=scores,
+                final_mask=fin,
+            ),
             donate_argnums=(1,),
-        )
-        self._last = jax.jit(
-            lambda v, mem, f, a: step(
-                model, v, mem, pre(f), a, out_size, do_memorize=False
-            )[2 if scores else 1],
         )
         self._pre = pre
 
@@ -321,7 +330,7 @@ class ChunkedVideoRunner:
 
     def warmup(self, variables, frame_hw, batch: int, n_slots: int,
                frame_dtype=jnp.float32):
-        """AOT-compile init + chunk scans (full + ladder) + final step.
+        """AOT-compile init + chunk scans (full + ladder sizes).
 
         ``frame_hw``/``frame_dtype`` describe the RAW frames handed to
         __call__ (before ``preprocess``).
@@ -339,8 +348,8 @@ class ChunkedVideoRunner:
         )
         for size in [self.chunk] + self._ladder():
             fc = jax.ShapeDtypeStruct((size, batch, h, w, 3), frame_dtype)
-            self._chunk.lower(variables, mem_abs, fc, a).compile()
-        self._last.lower(variables, mem_abs, f0, a).compile()
+            fin = jax.ShapeDtypeStruct((size,), jnp.bool_)
+            self._chunk.lower(variables, mem_abs, fc, a, fin).compile()
 
     def __call__(self, variables, rng, frames, init_mask, active):
         """frames: (T, B, H, W, 3) device or host array.
@@ -361,19 +370,24 @@ class ChunkedVideoRunner:
         def collect(p):
             return p if self.scores else np.asarray(p, dtype=np.uint8)
 
+        def run_sub(mem, t, size):
+            fin = np.zeros((size,), bool)
+            if t + size == T:
+                fin[-1] = True  # the video's true final frame: skip memorize
+            return self._chunk(variables, mem, frames[t : t + size], active,
+                               jnp.asarray(fin))
+
         preds = []
         t = 1
-        while t + self.chunk <= T - 1:
-            mem, p = self._chunk(variables, mem, frames[t : t + self.chunk], active)
+        while t + self.chunk <= T:
+            mem, p = run_sub(mem, t, self.chunk)
             preds.append(collect(p))
             t += self.chunk
         for size in self._ladder():
-            if t + size <= T - 1:
-                mem, p = self._chunk(variables, mem, frames[t : t + size], active)
+            if t + size <= T:
+                mem, p = run_sub(mem, t, size)
                 preds.append(collect(p))
                 t += size
-        # final frame: decode-only
-        preds.append(collect(self._last(variables, mem, frames[-1], active))[None])
         if self.scores:
             return jnp.concatenate(preds, axis=0)
         return np.concatenate(preds, axis=0)
