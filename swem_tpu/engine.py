@@ -330,34 +330,48 @@ class ChunkedVideoRunner:
 
     def warmup(self, variables, frame_hw, batch: int, n_slots: int,
                frame_dtype=jnp.float32):
-        """AOT-compile init + chunk scans (full + ladder sizes).
+        """Compile AND load init + every chunk-scan program (full + ladder).
 
-        ``frame_hw``/``frame_dtype`` describe the RAW frames handed to
-        __call__ (before ``preprocess``).
+        Executes each program once on zeros rather than ``lower().compile()``:
+        on this stack the AOT compile does not populate the jit dispatch
+        cache (the first real call recompiled — measured 134 s inside the
+        FPS span), a pre-compiled executable lazily loads onto the chip on
+        first use (~6 s), and the first bulk device->host fetch initializes
+        the transfer path (~28 s through the dev tunnel). A dummy execution
+        + prediction fetch pays all of it here, outside any timed region. ``frame_hw``/``frame_dtype`` describe the
+        RAW frames handed to __call__ (before ``preprocess``).
         """
         h, w = frame_hw
-        f0 = jax.ShapeDtypeStruct((batch, h, w, 3), frame_dtype)
-        m = jax.ShapeDtypeStruct((batch,) + tuple(self.out_size) + (n_slots + 1,),
-                                 jnp.float32)
-        a = jax.ShapeDtypeStruct((batch, n_slots), jnp.bool_)
-        rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
-        self._init.lower(variables, rng, f0, m, a).compile()
-        mem_abs = jax.eval_shape(
-            lambda v, r, f, mm, aa: init_memory(self.model, v, r, self._pre(f), mm, aa),
-            variables, rng, f0, m, a,
-        )
+        f0 = jnp.zeros((batch, h, w, 3), frame_dtype)
+        m = jnp.zeros((batch,) + tuple(self.out_size) + (n_slots + 1,),
+                      jnp.float32)
+        a = jnp.zeros((batch, n_slots), jnp.bool_)
+        rng = jax.random.PRNGKey(0)
+        mem = self._init(variables, rng, f0, m, a)
         for size in [self.chunk] + self._ladder():
-            fc = jax.ShapeDtypeStruct((size, batch, h, w, 3), frame_dtype)
-            fin = jax.ShapeDtypeStruct((size,), jnp.bool_)
-            self._chunk.lower(variables, mem_abs, fc, a, fin).compile()
+            fc = jnp.zeros((size, batch, h, w, 3), frame_dtype)
+            fin = jnp.zeros((size,), jnp.bool_)
+            # mem is donated and a fresh one returned, so the dummy memory
+            # chains through every program; fetching the predictions also
+            # initializes the lazy device->host path per output shape
+            mem, p = self._chunk(variables, mem, fc, a, fin)
+            np.asarray(p)
+        jax.block_until_ready(mem.mem_count)
 
     def __call__(self, variables, rng, frames, init_mask, active):
-        """frames: (T, B, H, W, 3) device or host array.
+        """frames: (T, B, H, W, 3) HOST array (numpy, commonly uint8).
+
+        Keep frames on host: the runner slices them per chunk, and host
+        slices are free views, whereas slicing a device array compiles (and
+        chip-loads) a fresh executable per static offset — seconds per
+        slice on a tunneled dev box, milliseconds-but-nonzero anywhere.
+        Each chunk program uploads its own slice (uint8 recommended: 4x
+        less transfer, normalized by ``preprocess`` on device).
 
         Returns preds for frames 1..T-1: (T-1, B, Ho, Wo) uint8 on host, or
         (T-1, B, Ho, Wo, N+1) f32 on device with ``scores=True``.
         """
-        frames = jnp.asarray(frames)
+        frames = np.asarray(frames) if not isinstance(frames, np.ndarray) else frames
         T = frames.shape[0]
         B = frames.shape[1]
         mem = self._init(variables, rng, frames[0], init_mask, active)

@@ -76,11 +76,13 @@ class Evaluator:
         else:
             raise ValueError(f"{self.eval_set} is unsupported")
 
-        in_size = tuple(cfg.eval.davis_in_size)
-        # frames arrive uint8 (4x smaller host->device transfer); the /255
-        # conversion runs on-device before the bicubic resize
-        self._resize_davis = jax.jit(
-            lambda f: resize(f.astype(jnp.float32) / 255.0, in_size, "bicubic")
+        # frames stay on HOST until each chunk program uploads its own
+        # uint8 slice (4x smaller transfer; /255 + bicubic resize to
+        # davis_in_size run on device inside the chunk, see _runner) —
+        # slicing a device-resident stack would compile a fresh executable
+        # per static offset
+        self._davis_pre = lambda f: resize(
+            f.astype(jnp.float32) / 255.0, tuple(cfg.eval.davis_in_size), "bicubic"
         )
 
     # ------------------------------------------------------------------ #
@@ -108,10 +110,13 @@ class Evaluator:
         key = (out_size, batch, n_slots)
         if key not in self._runners:
             runner = ChunkedVideoRunner(self._model_for(n_slots), out_size,
-                                        chunk=self.cfg.eval.chunk)
-            # AOT-compile init + chunk scan + tail step outside the FPS span
-            # (XLA compilation would otherwise be billed to video 0)
-            runner.warmup(self.variables, self.cfg.eval.davis_in_size, batch, n_slots)
+                                        chunk=self.cfg.eval.chunk,
+                                        preprocess=self._davis_pre)
+            # compile + chip-load every program outside the FPS span (XLA
+            # compilation would otherwise be billed to video 0); raw DAVIS
+            # frames arrive uint8 at the annotation size == out_size
+            runner.warmup(self.variables, out_size, batch, n_slots,
+                          frame_dtype=jnp.uint8)
             self._runners[key] = runner
         return self._runners[key]
 
@@ -134,12 +139,12 @@ class Evaluator:
             mkdir(out_dir)
             self.logger.info(f"Testing video {seq_idx}: {video.name} ({T} frames)")
 
-            frames = jnp.asarray(video.frames)[:, None]  # (T, 1, H, W, 3)
+            frames = video.frames[:, None]  # (T, 1, H, W, 3) host uint8 view
             bucket = self._slot_bucket(video.n_objs)
-            init_mask = jnp.asarray(video.init_mask[..., : bucket + 1])[None]
+            # host arrays throughout: the jitted programs upload them
+            init_mask = video.init_mask[None, ..., : bucket + 1]
             active = np.zeros((1, bucket), bool)
             active[:, : video.n_objs] = True
-            active = jnp.asarray(active)
 
             if multi_scale:
                 preds = self._run_multi_scale(
@@ -147,14 +152,14 @@ class Evaluator:
                     fps=fps, n_frames=T,
                 )
             else:
-                # runner creation (compile/warmup) and the fixed-size input
-                # resize sit outside the timed span, like the reference
-                # (resize at basic_evaluator.py:160, tic at :171)
+                # runner creation (compile/warmup) sits outside the timed
+                # span, like the reference; per-chunk uint8 uploads land
+                # inside it (the reference moves the video to device before
+                # tic, basic_evaluator.py:160-171 — ~4 ms/video of H2D on a
+                # real host, counted here for honesty)
                 runner = self._runner((Ho, Wo), n_slots=bucket)
-                in_frames = self._resize_davis(frames)
-                np.asarray(in_frames[0, 0, 0, 0])  # sync fence, no bulk copy
                 fps.tic()
-                preds = runner(self.variables, rng, in_frames, init_mask, active)
+                preds = runner(self.variables, rng, frames, init_mask, active)
                 fps.toc(T)
 
             first = np.argmax(video.init_mask, axis=-1).astype(np.uint8)
@@ -214,10 +219,8 @@ class Evaluator:
                 for b, v in enumerate(batch_videos):
                     active[b, : v.n_objs] = True
                 runner = self._runner((Ho, Wo), batch=B, n_slots=bucket)
-                in_frames = self._resize_davis(jnp.asarray(frames))
-                np.asarray(in_frames[0, 0, 0, 0])  # sync fence, no bulk copy
                 fps.tic()
-                preds = runner(self.variables, rng, in_frames, init_mask,
+                preds = runner(self.variables, rng, frames, init_mask,
                                jnp.asarray(active))
                 fps.toc(sum(v.frames.shape[0] for v in batch_videos))
                 for b, v in enumerate(batch_videos):
@@ -288,9 +291,11 @@ class Evaluator:
             scores = runner(self.variables, rng, frames, init_mask, active)
             total = scores if total is None else total + scores
             if self.cfg.eval.flip:
+                # flips of the HOST inputs are free numpy views; only the
+                # score un-flip runs on device
                 flipped = runner(
-                    self.variables, rng, jnp.flip(frames, axis=-2),
-                    jnp.flip(init_mask, axis=-2), active,
+                    self.variables, rng, np.flip(frames, axis=-2),
+                    np.flip(init_mask, axis=-2), active,
                 )
                 total = total + jnp.flip(flipped, axis=-2)
         preds = np.asarray(jnp.argmax(total, axis=-1).astype(jnp.uint8))
@@ -376,25 +381,32 @@ class Evaluator:
             fns = step_cache[key]
 
             if new_key:
-                # AOT-compile everything outside the FPS span
+                # compile AND chip-load everything outside the FPS span by
+                # executing each program once on zeros (lower().compile()
+                # neither fills the jit dispatch cache nor loads the
+                # executable on this stack — see ChunkedVideoRunner.warmup)
                 h_in, w_in = video.frames.shape[1:3]
-                zf0 = jax.ShapeDtypeStruct((1, h_in, w_in, 3), jnp.float32)
-                zfc = jax.ShapeDtypeStruct((chunk_len, 1, h_in, w_in, 3), jnp.float32)
-                zm = jax.ShapeDtypeStruct((1, Ho, Wo, bucket + 1), jnp.float32)
-                za = jax.ShapeDtypeStruct((1, bucket), jnp.bool_)
-                zr = jax.ShapeDtypeStruct((2,), jnp.uint32)
-                init_cache[bucket].lower(self.variables, zr, zf0, zm, za).compile()
-                mem_abs = jax.eval_shape(
-                    lambda v, r, f, mm, aa, _m=model: init_memory(_m, v, r, f, mm, aa),
-                    self.variables, zr, zf0, zm, za,
-                )
-                fns["plain"].lower(self.variables, mem_abs, zf0, za).compile()
-                fns["last"].lower(self.variables, mem_abs, zf0, za).compile()
-                fns["inject"].lower(self.variables, mem_abs, zf0, za, zm, za).compile()
-                fns["chunk"].lower(self.variables, mem_abs, zfc, za).compile()
+                zf0 = jnp.zeros((1, h_in, w_in, 3), jnp.float32)
+                zfc = jnp.zeros((chunk_len, 1, h_in, w_in, 3), jnp.float32)
+                zm = jnp.zeros((1, Ho, Wo, bucket + 1), jnp.float32)
+                za = jnp.zeros((1, bucket), jnp.bool_)
+                zr = jax.random.PRNGKey(0)
+                wmem = jit_init(self.variables, zr, zf0, zm, za)
+                wmem, p = fns["plain"](self.variables, wmem, zf0, za)
+                np.asarray(p)  # fetch warms the lazy d2h path per shape
+                wmem, p = fns["inject"](self.variables, wmem, zf0, za, zm, za)
+                np.asarray(p)
+                wmem, p = fns["chunk"](self.variables, wmem, zfc, za)
+                np.asarray(p)
+                _, p = fns["last"](self.variables, wmem, zf0, za)
+                np.asarray(p)
+                jax.block_until_ready(wmem.mem_count)
 
-            frames = jnp.asarray(video.frames)[:, None]
-            init_mask = jnp.asarray(video.init_mask[..., : bucket + 1])[None]
+            # host array: per-step/chunk slices are free numpy views and the
+            # jitted programs upload them (device-array slicing would
+            # compile one executable per frame index)
+            frames = video.frames[:, None]
+            init_mask = video.init_mask[None, ..., : bucket + 1]
             active = np.zeros((1, bucket), bool)
             # exact frame-0 slot list from meta.json (an annotated object may
             # have an empty frame-0 mask; counting nonzero channels would

@@ -1,0 +1,93 @@
+"""Streaming-session (online serving) tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swem_tpu.config import ModelConfig
+from swem_tpu.models.swem import SWEM
+from swem_tpu.serve import StreamingSession
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ModelConfig(
+        backbone="resnet18", keydim=8, valdim=16, num_bases=4,
+        num_em_iters=2, topl=2, max_objs=4, mdim=16,
+    )
+    model = SWEM(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)),
+        jnp.zeros((1, 64, 96, 5)),
+    )
+    return cfg, variables
+
+
+def test_stream_matches_offline_engine(tiny):
+    """push()-by-push() == the offline per-frame step path."""
+    from swem_tpu.engine import init_memory, step
+
+    cfg, variables = tiny
+    model = SWEM(cfg)
+    rng = np.random.default_rng(0)
+    T, H, W = 4, 64, 96
+    frames_u8 = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    labels[40:60, 60:90] = 2
+
+    sess = StreamingSession(cfg, variables, raw_hw=(H, W), in_size=(H, W),
+                            out_size=(H, W), seed=0)
+    sess.warmup()
+    sess.start(frames_u8[0], labels)
+    stream_preds = [sess.push(f) for f in frames_u8[1:]]
+    assert sess.frames_seen == T
+
+    onehot = (labels[..., None] == np.arange(cfg.max_objs + 1)).astype(np.float32)
+    active = np.zeros((1, cfg.max_objs), bool)
+    active[0, :2] = True
+    fr = jnp.asarray(frames_u8.astype(np.float32) / 255.0)
+    mem = init_memory(model, variables, jax.random.PRNGKey(0), fr[0][None],
+                      jnp.asarray(onehot[None]), jnp.asarray(active))
+    for t in range(1, T):
+        mem, pred, _ = step(model, variables, mem, fr[t][None],
+                            jnp.asarray(active), (H, W), do_memorize=True)
+        np.testing.assert_array_equal(stream_preds[t - 1], np.asarray(pred[0]))
+
+
+def test_stream_mid_injection(tiny):
+    """add_objects grows the active set and later frames may predict it."""
+    cfg, variables = tiny
+    rng = np.random.default_rng(1)
+    H, W = 64, 96
+    frames_u8 = (rng.random((5, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+
+    sess = StreamingSession(cfg, variables, raw_hw=(H, W), in_size=(H, W),
+                            out_size=(H, W))
+    sess.start(frames_u8[0], labels)
+    sess.push(frames_u8[1])
+    inj = np.zeros((H, W), np.uint8)
+    inj[40:60, 60:90] = 3
+    pred = sess.add_objects(frames_u8[2], inj, [3])
+    assert (pred == 3).sum() > 0  # injected GT overwrites the prediction
+    p3 = sess.push(frames_u8[3])
+    assert p3.shape == (H, W) and p3.dtype == np.uint8
+    assert set(np.unique(p3)) <= set(range(cfg.max_objs + 1))
+
+
+def test_stream_resize_path(tiny):
+    """raw_hw != in_size exercises the on-device bicubic preprocess."""
+    cfg, variables = tiny
+    rng = np.random.default_rng(2)
+    H, W = 64, 96
+    raw = (rng.random((2, 80, 120, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    sess = StreamingSession(cfg, variables, raw_hw=(80, 120), in_size=(H, W),
+                            out_size=(H, W))
+    sess.start(raw[0], labels)
+    pred = sess.push(raw[1])
+    assert pred.shape == (H, W)
