@@ -302,11 +302,22 @@ class ChunkedVideoRunner:
     """
 
     def __init__(self, model: SWEM, out_size: Tuple[int, int], chunk: int = 16,
-                 scores: bool = False, preprocess=None):
+                 scores: bool = False, preprocess=None, mesh=None):
+        """``mesh``: optional 1-D 'data' mesh — the video-batch dim shards
+        over it, so B videos evaluate concurrently on B/n_devices chips each
+        carrying an independent memory (multi-chip throughput eval; the
+        computation follows the input shardings, no collectives needed —
+        every video is independent)."""
         self.model = model
         self.out_size = out_size
         self.chunk = chunk
         self.scores = scores
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            self._shard_b = NamedSharding(mesh, Pspec("data"))      # (B, ...)
+            self._shard_tb = NamedSharding(mesh, Pspec(None, "data"))  # (T, B, ...)
         pre = preprocess if preprocess is not None else (lambda f: f)
         self._init = jax.jit(
             lambda v, r, f, m, a: init_memory(model, v, r, pre(f), m, a)
@@ -346,10 +357,16 @@ class ChunkedVideoRunner:
         m = jnp.zeros((batch,) + tuple(self.out_size) + (n_slots + 1,),
                       jnp.float32)
         a = jnp.zeros((batch, n_slots), jnp.bool_)
+        if self.mesh is not None:
+            f0 = jax.device_put(f0, self._shard_b)
+            m = jax.device_put(m, self._shard_b)
+            a = jax.device_put(a, self._shard_b)
         rng = jax.random.PRNGKey(0)
         mem = self._init(variables, rng, f0, m, a)
         for size in [self.chunk] + self._ladder():
             fc = jnp.zeros((size, batch, h, w, 3), frame_dtype)
+            if self.mesh is not None:
+                fc = jax.device_put(fc, self._shard_tb)
             fin = jnp.zeros((size,), jnp.bool_)
             # mem is donated and a fresh one returned, so the dummy memory
             # chains through every program; fetching the predictions also
@@ -374,7 +391,14 @@ class ChunkedVideoRunner:
         frames = np.asarray(frames) if not isinstance(frames, np.ndarray) else frames
         T = frames.shape[0]
         B = frames.shape[1]
-        mem = self._init(variables, rng, frames[0], init_mask, active)
+        if self.mesh is not None:
+            # pin the batch dim's sharding; the whole video pipeline then
+            # runs data-parallel (computation follows the input shardings)
+            init_mask = jax.device_put(init_mask, self._shard_b)
+            active = jax.device_put(active, self._shard_b)
+        mem = self._init(variables, rng, frames[0] if self.mesh is None
+                         else jax.device_put(frames[0], self._shard_b),
+                         init_mask, active)
         if T == 1:  # only the annotated frame: nothing to predict
             if self.scores:
                 n_ch = init_mask.shape[-1]
@@ -388,8 +412,10 @@ class ChunkedVideoRunner:
             fin = np.zeros((size,), bool)
             if t + size == T:
                 fin[-1] = True  # the video's true final frame: skip memorize
-            return self._chunk(variables, mem, frames[t : t + size], active,
-                               jnp.asarray(fin))
+            fc = frames[t : t + size]
+            if self.mesh is not None:
+                fc = jax.device_put(fc, self._shard_tb)
+            return self._chunk(variables, mem, fc, active, jnp.asarray(fin))
 
         preds = []
         t = 1

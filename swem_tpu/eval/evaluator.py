@@ -105,13 +105,14 @@ class Evaluator:
 
         return SWEM(dataclasses.replace(self.model.cfg, max_objs=n_slots))
 
-    def _runner(self, out_size, batch: int = 1, n_slots: int = None) -> ChunkedVideoRunner:
+    def _runner(self, out_size, batch: int = 1, n_slots: int = None,
+                mesh=None) -> ChunkedVideoRunner:
         n_slots = n_slots or self.n_slots
-        key = (out_size, batch, n_slots)
+        key = (out_size, batch, n_slots, mesh is not None)
         if key not in self._runners:
             runner = ChunkedVideoRunner(self._model_for(n_slots), out_size,
                                         chunk=self.cfg.eval.chunk,
-                                        preprocess=self._davis_pre)
+                                        preprocess=self._davis_pre, mesh=mesh)
             # compile + chip-load every program outside the FPS span (XLA
             # compilation would otherwise be billed to video 0); raw DAVIS
             # frames arrive uint8 at the annotation size == out_size
@@ -188,6 +189,17 @@ class Evaluator:
         """
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
+        # multi-chip throughput: shard the video batch over a 'data' mesh
+        # when the batch divides the device count (every video is
+        # independent, so this is embarrassingly parallel — a capability
+        # the strictly single-GPU-sequential reference has no analogue for)
+        mesh = None
+        ndev = jax.device_count()
+        if ndev > 1 and vb % ndev == 0:
+            from swem_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+            self.logger.info(f"sharding video batches over {ndev} devices")
         # group by (output size, slot bucket) from file headers only —
         # videos are decoded one batch at a time (a full eager pass would
         # hold the whole dataset's frame stacks in host RAM) — and sort each
@@ -218,7 +230,10 @@ class Evaluator:
                 active = np.zeros((B, bucket), bool)
                 for b, v in enumerate(batch_videos):
                     active[b, : v.n_objs] = True
-                runner = self._runner((Ho, Wo), batch=B, n_slots=bucket)
+                runner = self._runner(
+                    (Ho, Wo), batch=B, n_slots=bucket,
+                    mesh=mesh if (mesh is not None and B % ndev == 0) else None,
+                )
                 fps.tic()
                 preds = runner(self.variables, rng, frames, init_mask,
                                jnp.asarray(active))
