@@ -14,7 +14,6 @@ Static-shape strategy: the object axis is padded to ``max_objs``; per-frame
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -24,7 +23,6 @@ import numpy as np
 from swem_tpu.models import em
 from swem_tpu.models.swem import (
     SWEM,
-    hard_mask_from_pred,
     prepare_em_masks,
     prepare_em_masks_from_idx,
 )
