@@ -109,8 +109,9 @@ def step(
     frame: (B, H, W, 3); active: (B, N) slots live *before* this frame;
     inject_mask/(B,Ho,Wo,N+1) + inject_new/(B,N): ground-truth masks for
     objects appearing at this frame (YTVOS, swem_evaluator.py:124-130).
-    ``keys``: optionally precomputed ``encode_key`` outputs for this frame
-    (see ``encode_keys_batched``).
+    ``keys``: optionally this frame's precomputed ``encode_frame`` 6-tuple
+    (qk16, qv16, s16, skip8, skip4, vf) — NOT ``encode_key`` output; see
+    ``encode_keys_batched``.
 
     Returns (mem, pred_idx (B,Ho,Wo) uint8, pred_mask (B,Ho,Wo,N+1)).
     """
@@ -182,6 +183,12 @@ def run_video(
     The final frame's memorize is skipped via run_chunk's traced
     ``final_mask``, like the reference (swem_evaluator.py:90-93) — the
     post-video memory is never read, so this is a pure speed win.
+
+    Memory note: the whole video's frame features are pre-encoded at once
+    (~40 MB/frame in bf16 at 480p), so this single-program API is for
+    benchmarking/tests and bounded-length clips; production evaluation goes
+    through ``ChunkedVideoRunner``, which bounds feature memory by the
+    chunk size.
     """
     mem0 = init_memory(model, variables, rng, frames[0], init_mask, active)
     T = frames.shape[0]
@@ -330,8 +337,18 @@ class ChunkedVideoRunner:
         self._pre = pre
 
     def _ladder(self):
+        """Descending powers of two below ``chunk``.
+
+        Greedy selection over distinct powers {2^k, ..., 2, 1} covers ANY
+        remainder < 2^(k+1) >= chunk (binary representation), so the tail
+        decomposition is exact for every chunk size — starting at chunk//2
+        would leave gaps for non-power-of-two chunks (chunk=6 -> [3, 1]
+        cannot represent remainders 2 or 5).
+        """
+        s = 1
+        while s * 2 < self.chunk:
+            s *= 2
         sizes = []
-        s = self.chunk // 2
         while s >= 1:
             sizes.append(s)
             s //= 2
@@ -369,8 +386,12 @@ class ChunkedVideoRunner:
             # mem is donated and a fresh one returned, so the dummy memory
             # chains through every program; fetching the predictions also
             # initializes the lazy device->host path per output shape
+            # (scores mode keeps its f32 stacks on device, so only sync)
             mem, p = self._chunk(variables, mem, fc, a, fin)
-            np.asarray(p)
+            if self.scores:
+                jax.block_until_ready(p)
+            else:
+                np.asarray(p)
         jax.block_until_ready(mem.mem_count)
 
     def __call__(self, variables, rng, frames, init_mask, active):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from swem_tpu.config import ModelConfig
+from swem_tpu.data.davis_test import to_onehot
 from swem_tpu.engine import init_memory, step
 from swem_tpu.models.swem import SWEM
 from swem_tpu.ops.resize import resize
@@ -112,7 +113,9 @@ class StreamingSession:
         """Seed the memory. frame0 (H,W,3) uint8; init_mask (Ho,Wo) uint8
         labels (0 = background, 1..n = objects)."""
         labels = np.asarray(init_mask)
-        onehot = (labels[..., None] == np.arange(self.n_slots + 1)).astype(np.float32)
+        # same one-hot contract as the offline loaders (ids beyond the slot
+        # budget drop to background)
+        onehot = to_onehot(labels, self.n_slots + 1)
         active = np.zeros((1, self.n_slots), bool)
         present = np.unique(labels)
         for obj in present[present > 0]:
@@ -143,7 +146,7 @@ class StreamingSession:
         their label values."""
         assert self._mem is not None, "call start() first"
         labels = np.asarray(mask)
-        onehot = (labels[..., None] == np.arange(self.n_slots + 1)).astype(np.float32)
+        onehot = to_onehot(labels, self.n_slots + 1)
         inew = np.zeros((1, self.n_slots), bool)
         for obj in new_ids:
             assert 1 <= obj <= self.n_slots, f"object id {obj} out of budget"

