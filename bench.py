@@ -1,14 +1,26 @@
 """Headline benchmark: SWEM 480p video-object-segmentation inference FPS.
 
 Measures the flagship model (ResNet-50, keydim 128, valdim 512, L=128,
-topl 64, 2 objects) on a synthetic 480x864 video with DAVIS-style 480x854
-output — the reference's eval configuration (basic_evaluator.py:160,
-SURVEY.md §6). FPS counts everything the reference counts: per-frame encode,
-memory read, decode, argmax, value encode, EM memorize (utils/logger.py:87-108
+topl 64, 2 objects) on synthetic 480p video in two ways:
+
+* ``runner_fps`` — the PRODUCTION evaluation path: a DAVIS-atypical-length
+  T=69 uint8 host video through ``ChunkedVideoRunner`` (chunk=16 scans +
+  exact binary-ladder tail + traced final-frame memorize skip), with the
+  uint8 -> /255 -> bicubic(480x864) preprocess fused into each program and
+  the uint8 predictions fetched to host — exactly what
+  ``Evaluator.evaluate_davis`` times (evaluator.py FPS semantics,
+  /root/reference/methods/basic_modules/basic_evaluator.py:150-199). This
+  is the honest headline; ``vs_baseline`` is computed on it.
+* ``scan_fps`` — the whole-video single-program ``lax.scan`` with a
+  checksum sync (no bulk host fetch): the compute-capability ceiling,
+  robust to the dev tunnel's ~50 MB/s device->host link (see CLAUDE.md).
+
+FPS counts everything the reference counts: per-frame encode, memory read,
+decode, argmax, value encode, EM memorize (utils/logger.py:87-108
 semantics: wall-clock over whole-video inference, excluding PNG I/O).
 
 Baseline: the SWEM paper reports ~36 FPS at 480p on a V100 (the repo itself
-publishes no numbers — BASELINE.md); vs_baseline = ours / 36.
+publishes no numbers — BASELINE.md); vs_baseline = runner_fps / 36.
 
 Prints exactly one JSON line.
 """
@@ -22,16 +34,10 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    from swem_tpu.config import ModelConfig
+def bench_scan(model, variables, cfg, Ho, Wo):
     from swem_tpu.engine import run_video
-    from swem_tpu.models.swem import SWEM
-
-    cfg = ModelConfig(dtype="bfloat16")
-    model = SWEM(cfg)
 
     T, B, H, W = 30, 1, 480, 864
-    Ho, Wo = 480, 854
     rng = np.random.default_rng(0)
     frames_np = rng.random((T, B, H, W, 3)).astype(np.float32)
     init_mask = np.zeros((B, Ho, Wo, cfg.max_objs + 1), np.float32)
@@ -42,8 +48,6 @@ def main():
     init_mask[:, 260:400, 500:700, 0] = 0.0
     init_mask = jnp.asarray(init_mask)
     active = jnp.ones((B, cfg.max_objs), bool)
-
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(frames_np[0]), init_mask)
     frames = jnp.asarray(frames_np)
 
     @jax.jit
@@ -79,16 +83,68 @@ def main():
         # the reference counts all T frames for the same timed span
         # (fps.toc(frame_n), basic_evaluator.py:176)
         fps_runs.append(T / dt)
-    fps = float(np.median(fps_runs))
     out = np.asarray(preds)
     assert out.shape == (T - 1, B, Ho, Wo)
+    return float(np.median(fps_runs))
+
+
+def bench_runner(model, variables, cfg, Ho, Wo):
+    """Production path: ChunkedVideoRunner on a T=69 uint8 host video."""
+    from swem_tpu.engine import ChunkedVideoRunner
+    from swem_tpu.ops.resize import resize
+
+    T, B = 69, 1  # DAVIS-typical length, NOT a chunk multiple (16*4 + 4 + 1)
+    rng = np.random.default_rng(1)
+    frames = (rng.random((T, B, Ho, Wo, 3)) * 255).astype(np.uint8)
+    init_mask = np.zeros((B, Ho, Wo, cfg.max_objs + 1), np.float32)
+    init_mask[..., 0] = 1.0
+    init_mask[:, 100:220, 150:330, 1] = 1.0
+    init_mask[:, 100:220, 150:330, 0] = 0.0
+    init_mask[:, 260:400, 500:700, 2] = 1.0
+    init_mask[:, 260:400, 500:700, 0] = 0.0
+    active = np.ones((B, cfg.max_objs), bool)
+
+    pre = lambda f: resize(f.astype(jnp.float32) / 255.0, (480, 864), "bicubic")
+    runner = ChunkedVideoRunner(model, (Ho, Wo), chunk=16, preprocess=pre)
+    runner.warmup(variables, (Ho, Wo), B, cfg.max_objs, frame_dtype=jnp.uint8)
+
+    key = jax.random.PRNGKey(1)
+    fps_runs = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        preds = runner(variables, key, frames, jnp.asarray(init_mask),
+                       jnp.asarray(active))
+        dt = time.perf_counter() - t0
+        fps_runs.append(T / dt)
+    assert preds.shape == (T - 1, B, Ho, Wo) and preds.dtype == np.uint8
+    return float(np.median(fps_runs))
+
+
+def main():
+    from swem_tpu.config import ModelConfig
+    from swem_tpu.models.swem import SWEM
+
+    cfg = ModelConfig(dtype="bfloat16")
+    model = SWEM(cfg)
+    Ho, Wo = 480, 854
+
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray(rng.random((1, 480, 864, 3)).astype(np.float32))
+    m0 = np.zeros((1, Ho, Wo, cfg.max_objs + 1), np.float32)
+    m0[..., 0] = 1.0
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), f0, jnp.asarray(m0))
+
+    scan_fps = bench_scan(model, variables, cfg, Ho, Wo)
+    runner_fps = bench_runner(model, variables, cfg, Ho, Wo)
 
     baseline_fps = 36.0  # SWEM paper, 480p on V100
     print(json.dumps({
         "metric": "swem_480p_inference_fps",
-        "value": round(fps, 2),
+        "value": round(runner_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 3),
+        "vs_baseline": round(runner_fps / baseline_fps, 3),
+        "runner_fps": round(runner_fps, 2),
+        "scan_fps": round(scan_fps, 2),
     }))
 
 

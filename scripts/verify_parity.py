@@ -57,6 +57,16 @@ def get_args():
     p.add_argument("--eval_set", default="DAVIS17", choices=["DAVIS16", "DAVIS17"])
     p.add_argument("--ref_csv", default=None,
                    help="reference-produced global_results CSV to diff against")
+    p.add_argument("--ref_csv_scale", default="auto",
+                   choices=["auto", "points", "fraction"],
+                   help="unit of --ref_csv values: 'fraction' ([0,1], x100), "
+                        "'points' ([0,100]), or 'auto' (heuristic: scale "
+                        "when max <= 1.5 — a degenerate run below 1.5 points "
+                        "would be misread, so pass the unit explicitly for "
+                        "anything but healthy checkpoints)")
+    p.add_argument("--ours_csv_scale", default="fraction",
+                   choices=["points", "fraction"],
+                   help="unit of our CSV (swem_tpu writes fractions)")
     p.add_argument("--tol", type=float, default=0.2,
                    help="max |J&F-Mean| difference in points (BASELINE.md gate)")
     p.add_argument("--backbone", default="resnet50", choices=["resnet50", "resnet18"])
@@ -122,10 +132,18 @@ def main():
         return 0
 
     ref = read_global_csv(args.ref_csv)
-    # reference CSVs store fractions in [0,1]; the gate is in J&F points
-    scale = 100.0 if max(ref.values()) <= 1.5 else 1.0
-    diff = abs(ours["J&F-Mean"] * (100.0 if max(ours.values()) <= 1.5 else 1.0)
-               - ref["J&F-Mean"] * scale)
+
+    # the gate is in J&F points; scale each CSV by its declared unit
+    def to_points(vals: dict, scale_mode: str) -> float:
+        if scale_mode == "fraction":
+            return vals["J&F-Mean"] * 100.0
+        if scale_mode == "points":
+            return vals["J&F-Mean"]
+        # auto heuristic — only safe for healthy (>1.5-point) runs
+        return vals["J&F-Mean"] * (100.0 if max(vals.values()) <= 1.5 else 1.0)
+
+    diff = abs(to_points(ours, args.ours_csv_scale)
+               - to_points(ref, args.ref_csv_scale))
     print(f"reference J&F-Mean: {ref['J&F-Mean']:.3f}  ours: {ours['J&F-Mean']:.3f}  "
           f"|diff| = {diff:.3f} points (tol {args.tol})")
     if diff <= args.tol:

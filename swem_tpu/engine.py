@@ -23,6 +23,7 @@ import numpy as np
 from swem_tpu.models import em
 from swem_tpu.models.swem import (
     SWEM,
+    at_least_f32,
     prepare_em_masks,
     prepare_em_masks_from_idx,
 )
@@ -31,12 +32,12 @@ from swem_tpu.ops.resize import resize
 
 def _flat_qk(qk16):
     B, h, w, Ck = qk16.shape
-    return qk16.reshape(B, h * w, Ck).astype(jnp.float32)
+    return at_least_f32(qk16.reshape(B, h * w, Ck))
 
 
 def _flat_mv(mv16):
     B, N, h, w, Cv = mv16.shape
-    return mv16.reshape(B, N, h * w, Cv).astype(jnp.float32)
+    return at_least_f32(mv16.reshape(B, N, h * w, Cv))
 
 
 def init_memory(
@@ -56,7 +57,7 @@ def init_memory(
     cfg = model.cfg
     qk16, _, s16, _, _ = model.apply(variables, frame0, method="encode_key")
     in_size = frame0.shape[1:3]
-    init_mask_in = resize(init_mask.astype(jnp.float32), in_size, "nearest")
+    init_mask_in = resize(at_least_f32(init_mask), in_size, "nearest")
     mv16 = model.apply(variables, frame0, init_mask_in, s16, method="encode_value")
     B, h, w, _ = qk16.shape
     # The random prototype draw is shared across the batch so a video's
@@ -67,7 +68,7 @@ def init_memory(
     one = em.fresh_memory(rng, 1, cfg.max_objs, cfg.keydim, cfg.valdim, cfg.num_bases)
     mem = jax.tree.map(lambda t: jnp.broadcast_to(t, (B,) + t.shape[1:])
                        if t.ndim > 0 else t, one)
-    em_masks = prepare_em_masks(init_mask, init_mask.astype(jnp.float32), (h, w))
+    em_masks = prepare_em_masks(init_mask, at_least_f32(init_mask), (h, w))
     return em.memorize(
         mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
         n_iters=cfg.num_em_iters, tau=cfg.em_tau, use_pallas=cfg.use_pallas,
@@ -239,6 +240,8 @@ def run_chunk(
     out_size: Tuple[int, int],
     scores: bool = False,
     final_mask: Optional[jnp.ndarray] = None,
+    inject_idx: Optional[jnp.ndarray] = None,
+    inject_new: Optional[jnp.ndarray] = None,
 ) -> Tuple[em.VOSMemory, jnp.ndarray]:
     """Scan a fixed-size chunk of frames, carrying the memory.
 
@@ -253,6 +256,15 @@ def run_chunk(
     AND avoids the solo final step, whose standalone decode picked
     pathological layouts (~15 ms/video in the round-2 trace).
 
+    ``inject_idx`` (C, B, Ho, Wo) uint8 slot-index maps + ``inject_new``
+    (C, B, N) bool fold YTVOS mid-video object injection
+    (swem_evaluator.py:124-130) into the scan: a frame's ground-truth
+    overwrite of newly-appearing slots runs as cheap traced elementwise ops
+    (an all-False ``inject_new`` row is an exact no-op), and ``active`` —
+    the slot state at the chunk's FIRST frame — is carried through the scan
+    so later frames see the activation. One compiled scan per chunk size
+    therefore serves plain and injection frames alike.
+
     Chunking keeps compilation independent of video length: full chunks run
     under one compiled scan, the remainder through a binary ladder of
     smaller chunks (see ChunkedVideoRunner). The chunk's key features are
@@ -262,15 +274,39 @@ def run_chunk(
     keys = encode_keys_batched(model, variables, frames)
     if final_mask is None:
         final_mask = jnp.zeros((frames.shape[0],), bool)
+    injectable = inject_idx is not None
 
-    def body(mem, xs):
-        frame, k, is_final = xs
+    def body(carry, xs):
+        mem, active = carry
+        if injectable:
+            frame, k, is_final, inj_idx, inj_new = xs
+        else:
+            frame, k, is_final = xs
         qk16, qv16, s16, skip8, skip4, vf = k
         context = model.apply(variables, qk16, qv16, mem, method="match")
         _, pred_mask = model.apply(
             variables, context, skip8, skip4, active.astype(jnp.float32),
             out_size, method="decode",
         )
+        if injectable:
+            # zero predictions under newly-injected objects, then write the
+            # new slots' ground-truth channels (swem_evaluator.py:124-130)
+            n = pred_mask.shape[-1] - 1
+            slots = jnp.arange(1, n + 1, dtype=jnp.int32)
+            new_hot = jnp.logical_and(
+                inj_idx[..., None].astype(jnp.int32) == slots,
+                inj_new[:, None, None, :],
+            )  # (B, Ho, Wo, N) one-hot GT of the newly-appearing slots
+            new_any = jnp.any(new_hot, axis=-1, keepdims=True)
+            pred_mask = jnp.where(new_any, 0.0, pred_mask)
+            ch_sel = jnp.concatenate(
+                [jnp.zeros((inj_new.shape[0], 1), bool), inj_new], axis=-1
+            )
+            inj_full = jnp.concatenate(
+                [jnp.zeros_like(new_hot[..., :1]), new_hot], axis=-1
+            ).astype(pred_mask.dtype)
+            pred_mask = jnp.where(ch_sel[:, None, None, :], inj_full, pred_mask)
+            active = jnp.logical_or(active, inj_new)
         pred_idx = jnp.argmax(pred_mask, axis=-1).astype(jnp.uint8)
         mem = jax.lax.cond(
             is_final,
@@ -281,9 +317,13 @@ def run_chunk(
             ),
             mem,
         )
-        return mem, (pred_mask if scores else pred_idx)
+        return (mem, active), (pred_mask if scores else pred_idx)
 
-    return jax.lax.scan(body, mem, (frames, keys, final_mask))
+    xs = (frames, keys, final_mask)
+    if injectable:
+        xs = xs + (inject_idx, inject_new)
+    (mem, _), preds = jax.lax.scan(body, (mem, active), xs)
+    return mem, preds
 
 
 class ChunkedVideoRunner:
@@ -307,17 +347,25 @@ class ChunkedVideoRunner:
     """
 
     def __init__(self, model: SWEM, out_size: Tuple[int, int], chunk: int = 16,
-                 scores: bool = False, preprocess=None, mesh=None):
+                 scores: bool = False, preprocess=None, mesh=None,
+                 injectable: bool = False):
         """``mesh``: optional 1-D 'data' mesh — the video-batch dim shards
         over it, so B videos evaluate concurrently on B/n_devices chips each
         carrying an independent memory (multi-chip throughput eval; the
         computation follows the input shardings, no collectives needed —
-        every video is independent)."""
+        every video is independent).
+
+        ``injectable``: compile the chunk programs with per-frame
+        (inject_idx, inject_new) scan inputs for YTVOS mid-video object
+        injection (see run_chunk). Costs one (C, B, Ho, Wo) uint8 upload
+        per chunk (mostly zeros; ~ms on PCIe hosts), so the DAVIS path
+        keeps it off."""
         self.model = model
         self.out_size = out_size
         self.chunk = chunk
         self.scores = scores
         self.mesh = mesh
+        self.injectable = injectable
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
@@ -327,13 +375,22 @@ class ChunkedVideoRunner:
         self._init = jax.jit(
             lambda v, r, f, m, a: init_memory(model, v, r, pre(f), m, a)
         )
-        self._chunk = jax.jit(
-            lambda v, mem, f, a, fin: run_chunk(
-                model, v, mem, pre(f), a, out_size, scores=scores,
-                final_mask=fin,
-            ),
-            donate_argnums=(1,),
-        )
+        if injectable:
+            self._chunk = jax.jit(
+                lambda v, mem, f, a, fin, ii, inw: run_chunk(
+                    model, v, mem, pre(f), a, out_size, scores=scores,
+                    final_mask=fin, inject_idx=ii, inject_new=inw,
+                ),
+                donate_argnums=(1,),
+            )
+        else:
+            self._chunk = jax.jit(
+                lambda v, mem, f, a, fin: run_chunk(
+                    model, v, mem, pre(f), a, out_size, scores=scores,
+                    final_mask=fin,
+                ),
+                donate_argnums=(1,),
+            )
         self._pre = pre
 
     def _ladder(self):
@@ -383,18 +440,25 @@ class ChunkedVideoRunner:
             if self.mesh is not None:
                 fc = jax.device_put(fc, self._shard_tb)
             fin = jnp.zeros((size,), jnp.bool_)
+            extra = ()
+            if self.injectable:
+                extra = (
+                    jnp.zeros((size, batch) + tuple(self.out_size), jnp.uint8),
+                    jnp.zeros((size, batch, n_slots), jnp.bool_),
+                )
             # mem is donated and a fresh one returned, so the dummy memory
             # chains through every program; fetching the predictions also
             # initializes the lazy device->host path per output shape
             # (scores mode keeps its f32 stacks on device, so only sync)
-            mem, p = self._chunk(variables, mem, fc, a, fin)
+            mem, p = self._chunk(variables, mem, fc, a, fin, *extra)
             if self.scores:
                 jax.block_until_ready(p)
             else:
                 np.asarray(p)
         jax.block_until_ready(mem.mem_count)
 
-    def __call__(self, variables, rng, frames, init_mask, active):
+    def __call__(self, variables, rng, frames, init_mask, active,
+                 injections=None):
         """frames: (T, B, H, W, 3) HOST array (numpy, commonly uint8).
 
         Keep frames on host: the runner slices them per chunk, and host
@@ -404,12 +468,31 @@ class ChunkedVideoRunner:
         Each chunk program uploads its own slice (uint8 recommended: 4x
         less transfer, normalized by ``preprocess`` on device).
 
+        ``injections`` (requires ``injectable=True``): {frame_idx:
+        (idx_map (B, Ho, Wo) uint8 slot-index map, new (B, N) bool)} —
+        ground-truth masks of objects appearing at that frame (YTVOS,
+        swem_evaluator.py:124-130). ``active`` is the frame-0 slot state;
+        later activations happen inside the traced scans, with the host
+        mirroring them between chunks.
+
         Returns preds for frames 1..T-1: (T-1, B, Ho, Wo) uint8 on host, or
         (T-1, B, Ho, Wo, N+1) f32 on device with ``scores=True``.
         """
+        if isinstance(frames, jax.Array):
+            raise TypeError(
+                "ChunkedVideoRunner wants HOST frames (numpy): a device-"
+                "resident video would round-trip device->host->device "
+                "(~50 MB/s on tunneled platforms). Pass np.asarray(frames) "
+                "explicitly if that is really intended."
+            )
         frames = np.asarray(frames) if not isinstance(frames, np.ndarray) else frames
+        if injections and not self.injectable:
+            raise ValueError("injections require ChunkedVideoRunner(injectable=True)")
+        injections = injections or {}
         T = frames.shape[0]
         B = frames.shape[1]
+        n_slots = np.asarray(active).shape[-1]
+        host_active = np.asarray(active)
         if self.mesh is not None:
             # pin the batch dim's sharding; the whole video pipeline then
             # runs data-parallel (computation follows the input shardings)
@@ -424,29 +507,56 @@ class ChunkedVideoRunner:
                 return jnp.zeros((0, B) + tuple(self.out_size) + (n_ch,), jnp.float32)
             return np.zeros((0, B) + tuple(self.out_size), np.uint8)
 
-        def collect(p):
-            return p if self.scores else np.asarray(p, dtype=np.uint8)
-
-        def run_sub(mem, t, size):
+        def run_sub(mem, active, t, size):
             fin = np.zeros((size,), bool)
             if t + size == T:
                 fin[-1] = True  # the video's true final frame: skip memorize
             fc = frames[t : t + size]
             if self.mesh is not None:
                 fc = jax.device_put(fc, self._shard_tb)
-            return self._chunk(variables, mem, fc, active, jnp.asarray(fin))
+            extra = ()
+            if self.injectable:
+                inj_idx = np.zeros((size, B) + tuple(self.out_size), np.uint8)
+                inj_new = np.zeros((size, B, n_slots), bool)
+                for j in range(size):
+                    inj = injections.get(t + j)
+                    if inj is not None:
+                        inj_idx[j], inj_new[j] = inj
+                extra = (jnp.asarray(inj_idx), jnp.asarray(inj_new))
+            return self._chunk(variables, mem, fc, active, jnp.asarray(fin),
+                               *extra)
 
         preds = []
         t = 1
+
+        def advance(mem, active, host_active, t, size):
+            mem, p = run_sub(mem, active, t, size)
+            # keep the device handle: fetching here would serialize each
+            # chunk's device->host prediction transfer with the next
+            # chunk's compute. All chunks are dispatched first (async), the
+            # fetches below then stream while the device runs ahead.
+            preds.append(p)
+            # mirror in-scan slot activations for the next chunk's input
+            changed = False
+            for j in range(size):
+                inj = injections.get(t + j)
+                if inj is not None:
+                    host_active = np.logical_or(host_active, inj[1])
+                    changed = True
+            if changed:
+                active = jnp.asarray(host_active)
+                if self.mesh is not None:
+                    active = jax.device_put(active, self._shard_b)
+            return mem, active, host_active, t + size
+
         while t + self.chunk <= T:
-            mem, p = run_sub(mem, t, self.chunk)
-            preds.append(collect(p))
-            t += self.chunk
+            mem, active, host_active, t = advance(
+                mem, active, host_active, t, self.chunk)
         for size in self._ladder():
             if t + size <= T:
-                mem, p = run_sub(mem, t, size)
-                preds.append(collect(p))
-                t += size
+                mem, active, host_active, t = advance(
+                    mem, active, host_active, t, size)
         if self.scores:
             return jnp.concatenate(preds, axis=0)
-        return np.concatenate(preds, axis=0)
+        return np.concatenate([np.asarray(p, dtype=np.uint8) for p in preds],
+                              axis=0)

@@ -6,9 +6,10 @@ and methods/SWEM/swem_evaluator.py:16-160 around the functional engine:
 * DAVIS: frames resized on-device to (480, 864) bicubic
   (basic_evaluator.py:160), whole video run through the chunked-scan runner,
   predictions saved as palette PNGs at the original 480p size.
-* YTVOS: per-frame jitted steps with ground-truth injection at object
-  appearance frames; slot indices mapped back to original annotation ids
-  before saving (basic_evaluator.py:201-206).
+* YTVOS: whole videos through the same chunked-scan runner with
+  ground-truth injection at object appearance frames folded into the scan
+  (engine.run_chunk inject_idx/inject_new); slot indices mapped back to
+  original annotation ids before saving (basic_evaluator.py:201-206).
 
 FPS is whole-video wall clock with host materialization as the sync fence
 (utils/logger.py:87-108 semantics), excluding PNG I/O.
@@ -17,7 +18,6 @@ FPS is whole-video wall clock with host materialization as the sync fence
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -28,7 +28,7 @@ from swem_tpu.config import SWEMConfig
 from swem_tpu.data.davis_test import DavisTestSet
 from swem_tpu.data.palette import davis_palette, save_seg_mask, ytvos_palette
 from swem_tpu.data.ytvos_test import YTVOSTestSet
-from swem_tpu.engine import ChunkedVideoRunner, init_memory, step
+from swem_tpu.engine import ChunkedVideoRunner
 from swem_tpu.models.swem import SWEM
 from swem_tpu.ops.resize import resize
 from swem_tpu.utils import FrameSecondMeter, mkdir, setup_logger
@@ -334,17 +334,18 @@ class Evaluator:
 
     # ------------------------------------------------------------------ #
     def evaluate_ytvos(self):
-        """YTVOS inference: chunked scans between object-injection frames.
+        """YTVOS inference: whole videos as injection-folded chunked scans.
 
-        Most videos have every object at frame 0, so the whole video runs
-        as on-device scan chunks; injection frames (and chunk tails) run as
-        single jitted steps (swem_evaluator.py:104-148 semantics).
+        Object injection at appearance frames runs as traced elementwise
+        ops inside the scan (engine.run_chunk inject_idx/inject_new), so
+        every video — with or without mid-video objects — runs through the
+        same compiled chunk programs (full chunks + exact binary-ladder
+        tail), and the true final frame's memorize is skipped inside its
+        chunk (swem_evaluator.py:104-148 semantics, including line 139's
+        decode-only last frame).
         """
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
-        init_cache: Dict[int, callable] = {}
-        step_cache: Dict[tuple, dict] = {}
-        chunk_len = self.cfg.eval.chunk
 
         for seq_idx, video in enumerate(self.dataset):
             T = video.frames.shape[0]
@@ -352,74 +353,29 @@ class Evaluator:
             out_dir = os.path.join(self.out_root, video.name)
             mkdir(out_dir)
             bucket = self._slot_bucket(video.n_objs)
-            model = self._model_for(bucket)
             self.logger.info(
                 f"Testing video {seq_idx}: {video.name} ({T} frames, "
                 f"in {video.frames.shape[1:3]}, out {video.original_size}, "
                 f"{video.n_objs} objs -> {bucket} slots)"
             )
 
-            if bucket not in init_cache:
-                init_cache[bucket] = jax.jit(partial(init_memory, model))
-            jit_init = init_cache[bucket]
-            key = (video.frames.shape[1:3], (Ho, Wo), bucket)
-            new_key = key not in step_cache
-            if new_key:
-                from swem_tpu.engine import run_chunk
+            # one injectable runner per (input size, output size, bucket);
+            # YTVOS frames arrive resized + normalized f32 from the dataset,
+            # so no on-device preprocess is fused
+            key = ("yt", video.frames.shape[1:3], (Ho, Wo), bucket)
+            if key not in self._runners:
+                runner = ChunkedVideoRunner(
+                    self._model_for(bucket), (Ho, Wo),
+                    chunk=self.cfg.eval.chunk, injectable=True,
+                )
+                # compile + chip-load every program outside the FPS span
+                runner.warmup(self.variables, video.frames.shape[1:3], 1,
+                              bucket, frame_dtype=jnp.float32)
+                self._runners[key] = runner
+            runner = self._runners[key]
 
-                step_cache[key] = {
-                    "plain": jax.jit(
-                        lambda v, mem, f, a, _m=model: step(
-                            _m, v, mem, f, a, (Ho, Wo), do_memorize=True
-                        )[:2],
-                        donate_argnums=(1,),
-                    ),
-                    "inject": jax.jit(
-                        lambda v, mem, f, a, im, inew, _m=model: step(
-                            _m, v, mem, f, a, (Ho, Wo), do_memorize=True,
-                            inject_mask=im, inject_new=inew,
-                        )[:2],
-                        donate_argnums=(1,),
-                    ),
-                    "last": jax.jit(
-                        lambda v, mem, f, a, _m=model: step(
-                            _m, v, mem, f, a, (Ho, Wo), do_memorize=False
-                        )[:2],
-                    ),
-                    "chunk": jax.jit(
-                        lambda v, mem, f, a, _m=model: run_chunk(
-                            _m, v, mem, f, a, (Ho, Wo)
-                        ),
-                        donate_argnums=(1,),
-                    ),
-                }
-            fns = step_cache[key]
-
-            if new_key:
-                # compile AND chip-load everything outside the FPS span by
-                # executing each program once on zeros (lower().compile()
-                # neither fills the jit dispatch cache nor loads the
-                # executable on this stack — see ChunkedVideoRunner.warmup)
-                h_in, w_in = video.frames.shape[1:3]
-                zf0 = jnp.zeros((1, h_in, w_in, 3), jnp.float32)
-                zfc = jnp.zeros((chunk_len, 1, h_in, w_in, 3), jnp.float32)
-                zm = jnp.zeros((1, Ho, Wo, bucket + 1), jnp.float32)
-                za = jnp.zeros((1, bucket), jnp.bool_)
-                zr = jax.random.PRNGKey(0)
-                wmem = jit_init(self.variables, zr, zf0, zm, za)
-                wmem, p = fns["plain"](self.variables, wmem, zf0, za)
-                np.asarray(p)  # fetch warms the lazy d2h path per shape
-                wmem, p = fns["inject"](self.variables, wmem, zf0, za, zm, za)
-                np.asarray(p)
-                wmem, p = fns["chunk"](self.variables, wmem, zfc, za)
-                np.asarray(p)
-                _, p = fns["last"](self.variables, wmem, zf0, za)
-                np.asarray(p)
-                jax.block_until_ready(wmem.mem_count)
-
-            # host array: per-step/chunk slices are free numpy views and the
-            # jitted programs upload them (device-array slicing would
-            # compile one executable per frame index)
+            # host arrays throughout: the jitted chunk programs upload their
+            # own slices (device-array slicing would compile per offset)
             frames = video.frames[:, None]
             init_mask = video.init_mask[None, ..., : bucket + 1]
             active = np.zeros((1, bucket), bool)
@@ -427,43 +383,23 @@ class Evaluator:
             # have an empty frame-0 mask; counting nonzero channels would
             # activate the wrong slots)
             active[:, [s_ for s_ in video.init_slots if s_ < bucket]] = True
-            active = jnp.asarray(active)
+
+            injections = {}
+            for t, inj in video.injections.items():
+                idx_map = np.zeros((1, Ho, Wo), np.uint8)
+                new = np.zeros((1, bucket), bool)
+                for slot in inj["new_slots"]:
+                    if slot >= bucket:
+                        continue  # over-budget slot (dataset already warned)
+                    idx_map[0][inj["mask"][..., slot + 1] > 0] = slot + 1
+                    new[:, slot] = True
+                injections[t] = (idx_map, new)
 
             fps.tic()
-            mem = jit_init(self.variables, rng, frames[0], init_mask, active)
-            all_preds = []
-            t = 1
-            while t < T:
-                inj = video.injections.get(t)
-                if inj is not None:
-                    inew = np.zeros((1, bucket), bool)
-                    inew[:, inj["new_slots"]] = True
-                    mem, pred = fns["inject"](
-                        self.variables, mem, frames[t], active,
-                        jnp.asarray(inj["mask"][..., : bucket + 1])[None],
-                        jnp.asarray(inew),
-                    )
-                    active = jnp.logical_or(active, jnp.asarray(inew))
-                    all_preds.append(np.asarray(pred, dtype=np.uint8)[0])
-                    t += 1
-                    continue
-                # plain segment until the next injection frame
-                seg_end = min(
-                    [i for i in video.injections if i > t] + [T]
-                )
-                while t + chunk_len <= seg_end:
-                    mem, preds = fns["chunk"](
-                        self.variables, mem, frames[t : t + chunk_len], active
-                    )
-                    all_preds.extend(np.asarray(preds, dtype=np.uint8)[:, 0])
-                    t += chunk_len
-                while t < seg_end:
-                    # the final frame is decode-only (swem_evaluator.py:139)
-                    fn = fns["last"] if t == T - 1 else fns["plain"]
-                    mem, pred = fn(self.variables, mem, frames[t], active)
-                    all_preds.append(np.asarray(pred, dtype=np.uint8)[0])
-                    t += 1
+            preds = runner(self.variables, rng, frames, init_mask,
+                           jnp.asarray(active), injections=injections)
             fps.toc(T)
+            all_preds = preds[:, 0]  # (T-1, Ho, Wo) uint8
 
             # save frame 0 (original ids)
             save_seg_mask(

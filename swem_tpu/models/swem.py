@@ -29,7 +29,23 @@ from swem_tpu.ops.resize import resize
 
 
 def _dtype_of(cfg: ModelConfig):
-    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    if cfg.dtype == "bfloat16":
+        return jnp.bfloat16
+    if cfg.dtype == "float64":
+        # test-only (requires jax.enable_x64): the composed full-model
+        # parity oracle runs the whole network in f64
+        return jnp.float64
+    return jnp.float32
+
+
+def at_least_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Promote to >= f32 (bf16 -> f32) without truncating f64.
+
+    EM statistics and mask math run in f32 minimum; the f64 parity oracle
+    must keep f64 end-to-end, so these casts promote instead of hard-casting
+    to f32 (with x64 disabled, f64 inputs cannot occur in production).
+    """
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
 
 class SWEM(nn.Module):
@@ -114,7 +130,7 @@ class SWEM(nn.Module):
         B, h, w, Ck = qk16.shape
         mk, mv, base_valid = em.gather_memory(mem)
         N = mk.shape[1]
-        qk_flat = qk16.reshape(B, h * w, Ck).astype(jnp.float32)
+        qk_flat = at_least_f32(qk16.reshape(B, h * w, Ck))
         drop_rng = (
             self.make_rng("memdrop") if train and self.cfg.p_drop > 0 else None
         )
@@ -127,7 +143,7 @@ class SWEM(nn.Module):
         )
         Cv = mem_out.shape[-1]
         qv = jnp.broadcast_to(
-            qv16.reshape(B, 1, h * w, Cv).astype(jnp.float32), mem_out.shape
+            at_least_f32(qv16.reshape(B, 1, h * w, Cv)), mem_out.shape
         )
         feats = jnp.concatenate([mem_out, qv, S], axis=-1)  # (B,N,P,2Cv+2topl)
         feats = feats.reshape(B * N, h, w, feats.shape[-1])
@@ -204,8 +220,8 @@ def prepare_em_masks(
     fg = nearest(hard) * bilinear(soft); bg = (1-hard)*(1-soft).
     Returns (B, N, 2, P) with P = h16*w16.
     """
-    hard = resize(masks_hard[..., 1:].astype(jnp.float32), size16, "nearest")
-    soft = resize(masks_soft[..., 1:].astype(jnp.float32), size16, "bilinear")
+    hard = resize(at_least_f32(masks_hard[..., 1:]), size16, "nearest")
+    soft = resize(at_least_f32(masks_soft[..., 1:]), size16, "bilinear")
     fg = hard * soft
     bg = (1.0 - hard) * (1.0 - soft)
     stacked = jnp.stack([bg, fg], axis=1)  # (B, 2, h, w, N)
@@ -229,8 +245,8 @@ def prepare_em_masks_from_idx(
     n_ch = masks_soft.shape[-1]
     hard = (
         idx16[..., None].astype(jnp.int32) == jnp.arange(1, n_ch, dtype=jnp.int32)
-    ).astype(jnp.float32)  # (B, h, w, N)
-    soft = resize(masks_soft[..., 1:].astype(jnp.float32), size16, "bilinear")
+    ).astype(jnp.promote_types(masks_soft.dtype, jnp.float32))  # (B, h, w, N)
+    soft = resize(at_least_f32(masks_soft[..., 1:]), size16, "bilinear")
     fg = hard * soft
     bg = (1.0 - hard) * (1.0 - soft)
     stacked = jnp.stack([bg, fg], axis=1)  # (B, 2, h, w, N)

@@ -112,6 +112,11 @@ class StreamingSession:
     def start(self, frame0: np.ndarray, init_mask: np.ndarray) -> None:
         """Seed the memory. frame0 (H,W,3) uint8; init_mask (Ho,Wo) uint8
         labels (0 = background, 1..n = objects)."""
+        assert np.asarray(frame0).dtype == np.uint8, (
+            f"start() wants uint8 frames (got {np.asarray(frame0).dtype}): "
+            "the on-device preprocess divides by 255, so pre-normalized "
+            "floats would yield near-black inputs"
+        )
         labels = np.asarray(init_mask)
         # same one-hot contract as the offline loaders (ids beyond the slot
         # budget drop to background)
@@ -131,6 +136,9 @@ class StreamingSession:
     def push(self, frame: np.ndarray) -> np.ndarray:
         """Segment one frame and update the memory. Returns (Ho,Wo) uint8."""
         assert self._mem is not None, "call start() first"
+        assert np.asarray(frame).dtype == np.uint8, (
+            f"push() wants uint8 frames (got {np.asarray(frame).dtype})"
+        )
         self._mem, pred = self._step(
             self.variables, self._mem, jnp.asarray(frame[None]), self._active
         )
@@ -145,6 +153,9 @@ class StreamingSession:
         (Ho,Wo) uint8 label map containing the new objects; ``new_ids`` are
         their label values."""
         assert self._mem is not None, "call start() first"
+        assert np.asarray(frame).dtype == np.uint8, (
+            f"add_objects() wants uint8 frames (got {np.asarray(frame).dtype})"
+        )
         labels = np.asarray(mask)
         onehot = to_onehot(labels, self.n_slots + 1)
         inew = np.zeros((1, self.n_slots), bool)

@@ -148,17 +148,37 @@ class Trainer:
         t_start = time.perf_counter()
         it = start_iter
         batches = iter(loader)
+
+        def next_sharded():
+            """Fetch + device-shard the next batch; called right after a
+            step is dispatched so the H2D transfer for batch N+1 overlaps
+            step N's device execution (the dispatch is async), matching the
+            DataLoader prefetch+pin_memory role of the reference
+            (datasets/dataloader.py:12-36)."""
+            b = next(batches)
+            s = float(np.mean(b.pop("skips"))) if "skips" in b else None
+            return shard_batch(self.mesh, b), s
+
+        # per-step device metric futures since the last log flush: the
+        # logged window averages EVERY iteration (basic_trainer.py:246-258
+        # semantics) with one host sync per log period, not per step
+        pending = []
         try:
+            nxt = next_sharded() if it < self.max_iter else None
             while it < self.max_iter:
-                batch = next(batches)
-                skips = float(np.mean(batch.pop("skips"))) if "skips" in batch else None
-                batch = shard_batch(self.mesh, batch)
+                batch, skips = nxt
                 self.state, metrics = self.train_step(self.state, batch, rng)
+                pending.append(metrics)
                 it += 1
+                if it < self.max_iter:
+                    nxt = next_sharded()
                 if it % cfg.log_period == 0 or it == self.max_iter:
-                    metrics = jax.device_get(metrics)
-                    for k, m in meters.items():
-                        m.update(float(metrics[k]))
+                    fetched = jax.device_get(pending)
+                    pending.clear()
+                    for mt in fetched:
+                        for k, m in meters.items():
+                            m.update(float(mt[k]))
+                    metrics = fetched[-1]
                     lr = float(self.sched(it))
                     elapsed = time.perf_counter() - t_start
                     rate = (it - start_iter) / max(elapsed, 1e-9)

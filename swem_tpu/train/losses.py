@@ -36,6 +36,12 @@ def pixel_ce(logits: jnp.ndarray, target: jnp.ndarray,
     channel axis rather than ``take_along_axis``: XLA lowers the 1-element
     gather (and its backward scatter) to flat serialized ops costing tens of
     ms at training shapes; the compare+sum fuses into the log_softmax.
+
+    Out-of-range targets (< 0 or >= C) have an all-zero one_hot row and so
+    contribute exactly 0 loss — silently, unlike take_along_axis's clamp.
+    The training loaders guarantee target in [0, C): labels are argmax over
+    the (C)-channel one-hot masks. Callers feeding raw label maps must clamp
+    ids to the slot budget first (as data/*_dataset.py do).
     """
     logp = jax.nn.log_softmax(_mask_logits(logits, valid_obj), axis=-1)
     onehot = jax.nn.one_hot(target, logits.shape[-1], dtype=logp.dtype)

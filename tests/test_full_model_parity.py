@@ -1,0 +1,443 @@
+"""Composed full-model parity oracle vs the PyTorch reference.
+
+Every module has an f64 oracle in test_reference_parity.py; this file checks
+the *composition*: a faithful reference SWEM is stitched from torch-only
+parts (SWEMCore from methods/SWEM/modules.py, ValueEncoder/Decoder/
+KeyProjection from methods/basic_modules/networks.py, mod_resnet.resnet18
+with zeroed conv biases standing in for the torchvision key trunk — trunk
+parity proven in test_reference_parity.py::test_key_encoder_r50_trunk),
+wired per /root/reference/methods/SWEM/swem.py:39-116, and its
+evaluate_davis_seq / evaluate_ytvos_seq frame loops
+(/root/reference/methods/SWEM/swem_evaluator.py:59-148) are run in f64
+against our engine (init_memory -> per-frame step / whole-video scan) on
+converted random weights and identical inputs.
+
+This is the strongest pre-weights evidence that the production wiring —
+encode -> match -> segment -> argmax -> re-encode prediction -> memorize,
+including soft-aggregation, the masks_fg/masks_bg construction, resize
+placement, and mid-video YTVOS object injection — matches the reference
+end-to-end (the wiring bugs per-module tests cannot catch).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not available"
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from swem_tpu import engine  # noqa: E402
+from swem_tpu.config import ModelConfig  # noqa: E402
+from swem_tpu.models import em  # noqa: E402
+from swem_tpu.models.swem import SWEM  # noqa: E402
+
+from test_reference_parity import (  # noqa: E402
+    _convert_f64,
+    _load_ref,
+    _load_ref_basic_modules,
+    _randomize_torch,
+)
+
+# Small flagship-shaped config: resnet18 towers, power-of-two size ratios so
+# every interpolation weight is exact in both f32 and f64 coordinate math
+# (in 64x96 -> 1/16 4x6; out 32x48; decoder 16x24 -> 32x48).
+KEYDIM, VALDIM, L, N_ITERS, TAU, TOPL, MDIM = 32, 512, 8, 2, 0.05, 4, 256
+IN_HW = (64, 96)
+OUT_HW = (32, 48)
+
+
+def _build_ref_full_swem(rng):
+    """Stitch the full reference SWEM (swem.py:9-37) from torch-only parts."""
+    networks, _, mod_resnet = _load_ref_basic_modules()
+    ref_modules = _load_ref("ref_modules", "methods/SWEM/modules.py")
+    tnn = torch.nn
+
+    class RefKeyEncoder(tnn.Module):
+        """networks.KeyEncoder(resnet18) with mod_resnet standing in for the
+        torchvision trunk (conv biases zeroed below -> structurally equal)."""
+
+        def __init__(self):
+            super().__init__()
+            r = mod_resnet.resnet18(pretrained=False, extra_chan=0)
+            self.conv1, self.bn1 = r.conv1, r.bn1
+            self.relu, self.maxpool = r.relu, r.maxpool
+            self.res2, self.layer2, self.layer3 = r.layer1, r.layer2, r.layer3
+            self.register_buffer(
+                "mean", torch.FloatTensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1))
+            self.register_buffer(
+                "std", torch.FloatTensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1))
+
+        def forward(self, f):  # networks.py:160-170
+            f = (f - self.mean) / self.std
+            x = self.maxpool(self.relu(self.bn1(self.conv1(f))))
+            f4 = self.res2(x)
+            f8 = self.layer2(f4)
+            return self.layer3(f8), f8, f4
+
+    class RefSWEM(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.key_encoder = RefKeyEncoder()
+            self.value_encoder = networks.ValueEncoder(in_dim=256)
+            self.key_proj = networks.KeyProjection(256, keydim=KEYDIM)
+            self.key_comp = tnn.Conv2d(256, VALDIM, kernel_size=3, padding=1)
+            self.swem_core = ref_modules.SWEMCore(
+                n_bases=L, valdim=VALDIM, n_iters=N_ITERS, tau=TAU, topl=TOPL)
+            self.decoder = networks.Decoder([VALDIM, 128, 64], MDIM)
+
+    model = RefSWEM()
+    sd = _tame(_randomize_torch(model, rng))
+    model.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, strict=False)
+    # the key trunk must match our ResNetTrunk(conv_bias=False): zero the
+    # mod_resnet conv biases torch-side, strip them from the converted dict
+    conv_bias_keys = {
+        k for k in sd
+        if k.startswith("key_encoder.") and k.endswith(".bias")
+        and sd.get(k[: -len("bias")] + "weight", np.empty(0)).ndim == 4
+    }
+    zeroed = {k: (np.zeros_like(v) if k in conv_bias_keys else v)
+              for k, v in sd.items()}
+    model.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in zeroed.items()}, strict=False)
+    stripped = {k: v for k, v in zeroed.items() if k not in conv_bias_keys}
+    return model.double().eval(), stripped
+
+
+def _tame(sd):
+    """Rescale randomized weights to ~unit per-layer gain.
+
+    Raw N(0,1) conv kernels + random BN stats compound to ~1e19-scale
+    activations over the 20-conv towers; at those magnitudes XLA's fused
+    vectorized exp (inside the scan program) leaves its range-reduction
+    domain and emits NaN while the op-by-op eager path stays finite. The
+    oracle needs realistic magnitudes, not adversarial ones: He-scale the
+    convs/linears and keep BN params near identity (still random)."""
+    out = {}
+    for k, v in sd.items():
+        leaf = k.split(".")[-1]
+        if leaf in ("mean", "std"):
+            out[k] = v
+        elif v.ndim == 4:
+            fan = v.shape[1] * v.shape[2] * v.shape[3]
+            out[k] = (v * np.sqrt(2.0 / fan) / (v.std() + 1e-12)).astype(np.float32)
+        elif v.ndim == 2:
+            out[k] = (v * np.sqrt(2.0 / v.shape[1]) / (v.std() + 1e-12)).astype(np.float32)
+        elif leaf == "weight":  # BN scale
+            out[k] = (1.0 + 0.2 * v).astype(np.float32)
+        elif leaf == "running_var":
+            out[k] = (0.7 + 0.3 * np.abs(v)).astype(np.float32)
+        else:  # biases, running_mean
+            out[k] = (0.2 * v).astype(np.float32)
+    return out
+
+
+# ------------------------- reference frame loop ------------------------- #
+def _ref_encode_key(model, frame):  # swem.py:39-43
+    s16, s8, s4 = model.key_encoder(frame)
+    return model.key_proj(s16), model.key_comp(s16), s16, s8, s4
+
+
+def _ref_encode_value(model, frame, masks, s16):  # swem.py:45-62
+    n = masks.shape[1] - 1
+    other = 1 - masks - masks[:, 0:1]
+    mask_fg = masks[:, 1:].flatten(end_dim=1).unsqueeze(1)
+    mask_ot = other[:, 1:].flatten(end_dim=1).unsqueeze(1)
+    fr = frame.unsqueeze(1).expand(-1, n, -1, -1, -1).flatten(end_dim=1)
+    s = s16.unsqueeze(1).expand(-1, n, -1, -1, -1).flatten(end_dim=1)
+    mv = model.value_encoder(fr, s, mask_fg, mask_ot)
+    return mv.view(-1, n, *mv.shape[1:])
+
+
+def _ref_memorize(model, qk16, mv16, hard, soft):  # swem.py:69-86
+    h16, w16 = qk16.shape[-2:]
+    hard_ = F.interpolate(hard[:, 1:].double(), size=(h16, w16), mode="nearest")
+    soft_ = F.interpolate(soft[:, 1:], size=(h16, w16), mode="bilinear")
+    masks = torch.stack([(1 - hard_) * (1 - soft_), hard_ * soft_], dim=2)
+    model.swem_core.memorize(qk16, mv16, masks)
+
+
+def _ref_decode(model, n, context, s8, s4, out_size):  # swem.py:92-116
+    s8e = s8.unsqueeze(1).expand(-1, n, -1, -1, -1).flatten(end_dim=1)
+    s4e = s4.unsqueeze(1).expand(-1, n, -1, -1, -1).flatten(end_dim=1)
+    logits = model.decoder(context, s8e, s4e, out_size)
+    preds = torch.sigmoid(logits).view(-1, n, *out_size)
+    new_prob = torch.cat(
+        [torch.prod(1 - preds, dim=1, keepdim=True), preds], 1
+    ).clamp(1e-7, 1 - 1e-7)
+    logits = torch.log(new_prob / (1 - new_prob))
+    return logits, F.softmax(logits, dim=1)
+
+
+def _ref_run_video(model, frames, init_mask, out_size, injections=None):
+    """evaluate_davis_seq / evaluate_ytvos_seq (swem_evaluator.py:59-148).
+
+    frames (1, T, 3, H, W) f64; init_mask (1, n0+1, Ho, Wo) f64;
+    injections: {frame_idx: (1, n_new+1, Ho, Wo)} new-object GT masks.
+    Returns (pred_masks, pred_idx) lists for frames 1..T-1.
+    """
+    h, w = frames.shape[-2:]
+    T = frames.shape[1]
+    qk16, _, s16, _, _ = _ref_encode_key(model, frames[:, 0])
+    init_in = F.interpolate(init_mask, size=(h, w), mode="nearest")
+    mv16 = _ref_encode_value(model, frames[:, 0], init_in, s16)
+    model.swem_core.empty()
+    _ref_memorize(model, qk16, mv16, init_mask, init_mask)
+
+    pred_masks, pred_idxs = [], []
+    for i in range(1, T):
+        qk16, qv16, s16, s8, s4 = _ref_encode_key(model, frames[:, i])
+        context, n = model.swem_core.matching(qk16, qv16)
+        _, pred_mask = _ref_decode(model, n, context, s8, s4, out_size)
+        inj = (injections or {}).get(i)
+        if inj is not None:  # swem_evaluator.py:124-130
+            new_objects = torch.sum(inj[:, 1:], dim=1, keepdim=True)
+            pred_mask = pred_mask.clone()
+            pred_mask[new_objects.expand_as(pred_mask) > 0] = 0
+            pred_mask = torch.cat([pred_mask, inj[:, 1:]], dim=1)
+            n = pred_mask.shape[1] - 1
+        pred = torch.argmax(pred_mask, dim=1, keepdim=True)
+        pred_masks.append(pred_mask.clone())
+        pred_idxs.append(pred[:, 0].clone())
+        if i < T - 1:  # final frame is decode-only (swem_evaluator.py:89-93)
+            hard = (
+                pred.expand(-1, n + 1, -1, -1)
+                == torch.arange(n + 1).view(1, -1, 1, 1)
+            ).double()
+            soft_in = F.interpolate(pred_mask, size=(h, w), mode="bilinear",
+                                    align_corners=False)
+            mv16 = _ref_encode_value(model, frames[:, i], soft_in, s16)
+            _ref_memorize(model, qk16, mv16, hard, soft_in)
+    return pred_masks, pred_idxs
+
+
+# ------------------------------ fixtures -------------------------------- #
+def _fixed_kappa(rng, n_max):
+    """One shared l2-normalized prototype draw, injected into both sides
+    (modules.py:170-178 random_init semantics applied once in numpy f64)."""
+    k = rng.standard_normal((1, n_max, 2, KEYDIM, L)) * np.sqrt(2.0 / L)
+    return k / (np.linalg.norm(k, axis=-2, keepdims=True) + 1e-6)
+
+
+def _patch_ref_random_init(core, kappa_n):
+    """Reference random_init -> slices of the fixed draw, in slot order
+    (frame-0 memorize takes slots [0:n0], injection takes the next).
+    Returns the offset state; reset ``state['off'] = 0`` before a re-run."""
+    state = {"off": 0}
+
+    def fake(size, norm_dim=-2, dtype=None, device=None):
+        b, n_new = size[0], size[1]
+        s = state["off"]
+        state["off"] += n_new
+        kap = torch.from_numpy(kappa_n[:, s : s + n_new]).double().expand(b, -1, -1, -1, -1)
+        nu = torch.zeros(b, n_new, 2, VALDIM, L).double()
+        zita = torch.full((b, n_new, 2, 1, L), 1e-6).double()
+        return kap, nu, zita
+
+    core.random_init = fake
+    return state
+
+
+def _patch_our_fresh_memory(monkeypatch, kappa_n):
+    def fake(rng, batch, n_objs, key_dim, val_dim, n_bases, dtype=jnp.float32):
+        kap = jnp.asarray(kappa_n)  # (1, N_max, 2, Ck, L) f64
+        bases = em.Bases(
+            kappa=jnp.broadcast_to(kap, (batch,) + kap.shape[1:]),
+            nu=jnp.zeros((batch, n_objs, 2, val_dim, n_bases), jnp.float64),
+            zita=jnp.full((batch, n_objs, 2, 1, n_bases), 1e-6, jnp.float64),
+        )
+        return em.VOSMemory(
+            first=bases, update=bases,
+            obj_seen=jnp.zeros((batch, n_objs), bool),
+            mem_count=jnp.zeros((), jnp.int32),
+        )
+
+    monkeypatch.setattr(em, "fresh_memory", fake)
+
+
+def _make_inputs(rng, T, n_objs, n_slots):
+    frames = rng.random((T, 1, *IN_HW, 3)).astype(np.float64)
+    Ho, Wo = OUT_HW
+    mask = np.zeros((1, Ho, Wo, n_slots + 1), np.float64)
+    mask[..., 0] = 1.0
+    boxes = [(4, 16, 6, 22), (18, 30, 26, 44)]
+    for n in range(n_objs):
+        y0, y1, x0, x1 = boxes[n]
+        mask[:, y0:y1, x0:x1, n + 1] = 1.0
+        mask[:, y0:y1, x0:x1, 0] = 0.0
+    return frames, mask
+
+
+def _our_cfg(n_slots):
+    return ModelConfig(
+        backbone="resnet18", keydim=KEYDIM, valdim=VALDIM, num_bases=L,
+        num_em_iters=N_ITERS, em_tau=TAU, topl=TOPL, max_objs=n_slots,
+        mdim=MDIM, dtype="float64",
+    )
+
+
+def _to_torch_video(frames, mask):
+    ft = torch.from_numpy(np.moveaxis(frames[:, 0], -1, 1)).double().unsqueeze(0)
+    mt = torch.from_numpy(np.moveaxis(mask, -1, 1)).double()
+    return ft, mt
+
+
+class TestComposedFullModel:
+    def test_davis_loop_and_scan(self, rng, monkeypatch):
+        """5-frame DAVIS-style loop: per-frame pred_mask/pred_idx and the
+        final memory banks match the stitched torch reference in f64; the
+        whole-video lax.scan path (run_video) agrees with both."""
+        ref_model, sd = _build_ref_full_swem(rng)
+        n_objs = 2
+        kappa_n = _fixed_kappa(rng, n_objs)
+        init_state = _patch_ref_random_init(ref_model.swem_core, kappa_n)
+        frames, mask = _make_inputs(rng, T=5, n_objs=n_objs, n_slots=n_objs)
+        ft, mt = _to_torch_video(frames, mask)
+
+        with torch.no_grad():
+            ref_masks, ref_idx = _ref_run_video(ref_model, ft, mt, OUT_HW)
+            ref_mk, ref_mv = ref_model.swem_core.get_mem()
+            # fresh 3-frame run for the scan-path comparison below (short
+            # horizon: random weights make predictions near-uniform, so the
+            # batched-key-encode reduction-order deltas amplify ~300x/frame
+            # through the tau=0.05 EM exponentials — bounded over one
+            # memorize round, chaotic over four)
+            init_state["off"] = 0
+            ref_masks3, ref_idx3 = _ref_run_video(
+                ref_model, ft[:, :3], mt, OUT_HW)
+
+        with jax.enable_x64(True):
+            _patch_our_fresh_memory(monkeypatch, kappa_n)
+            variables = _convert_f64(sd)
+            model = SWEM(_our_cfg(n_objs))
+            active = jnp.ones((1, n_objs), bool)
+            fj = jnp.asarray(frames)
+            mj = jnp.asarray(mask)
+
+            mem = engine.init_memory(
+                model, variables, jax.random.PRNGKey(0), fj[0], mj, active)
+            T = frames.shape[0]
+            for i in range(1, T):
+                mem, pred_idx, pred_mask = engine.step(
+                    model, variables, mem, fj[i], active, OUT_HW,
+                    do_memorize=(i < T - 1),
+                )
+                want_mask = np.moveaxis(ref_masks[i - 1].numpy(), 1, -1)
+                np.testing.assert_allclose(
+                    np.asarray(pred_mask), want_mask, rtol=1e-6, atol=1e-8,
+                    err_msg=f"frame {i} pred_mask",
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(pred_idx), ref_idx[i - 1].numpy(),
+                    err_msg=f"frame {i} pred_idx",
+                )
+
+            # final memory banks (both valid: >= 2 memorize calls happened)
+            mk, mv, valid = em.gather_memory(mem)
+            assert bool(jnp.all(valid))
+            np.testing.assert_allclose(
+                np.asarray(mk), ref_mk.numpy(), rtol=1e-6, atol=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(mv), ref_mv.numpy(), rtol=1e-6, atol=1e-8)
+
+            # the scan engine (run_video_scores -> run_chunk -> batched key
+            # encode + final-frame cond) matches the reference loop over a
+            # 3-frame horizon: frame 1 reads the identical init memory
+            # (tight), frame 2 adds one EM round of amplified batched-conv
+            # reduction-order deltas (loose scores, near-exact argmax).
+            # Longer horizons are chaotic on random weights (see above);
+            # scan==step equivalence at depth is covered in test_model.py.
+            scores = np.asarray(engine.run_video_scores(
+                model, variables, jax.random.PRNGKey(0), fj[:3], mj, active,
+                OUT_HW))
+            np.testing.assert_allclose(
+                scores[0], np.moveaxis(ref_masks3[0].numpy(), 1, -1),
+                rtol=1e-6, atol=1e-8, err_msg="scan frame 1 scores",
+            )
+            np.testing.assert_allclose(
+                scores[1], np.moveaxis(ref_masks3[1].numpy(), 1, -1),
+                atol=1e-4, err_msg="scan frame 2 scores",
+            )
+            idx_mismatch = (
+                scores.argmax(-1) != np.stack(
+                    [p.numpy() for p in ref_idx3], axis=0)
+            ).mean()
+            assert idx_mismatch < 5e-3, f"scan argmax mismatch {idx_mismatch}"
+
+    def test_ytvos_injection_loop(self, rng, monkeypatch):
+        """4-frame loop with a new object injected at frame 2: the padded
+        static slot reproduces the reference's dynamic concat. The padded
+        slot's clamp(1e-7) contribution to the softmax makes pre-injection
+        scores differ at ~1e-7 (amplified ~20x/frame by tau=0.05 EM), so
+        scores compare at 1e-4 and argmax indices must match exactly."""
+        ref_model, sd = _build_ref_full_swem(rng)
+        n_slots = 2
+        kappa_n = _fixed_kappa(rng, n_slots)
+        _patch_ref_random_init(ref_model.swem_core, kappa_n)
+        T = 4
+        frames, full_mask = _make_inputs(rng, T=T, n_objs=2, n_slots=n_slots)
+        # frame 0 annotates object 1 only; object 2 appears at frame 2
+        init_mask = full_mask.copy()
+        init_mask[..., 0] += init_mask[..., 2]
+        init0 = init_mask[..., :2]  # (1, Ho, Wo, 2)
+        inj_np = np.zeros(full_mask.shape[:-1] + (2,), np.float64)
+        inj_np[..., 1] = full_mask[..., 2]
+        inj_np[..., 0] = 1.0 - inj_np[..., 1]
+
+        ft, _ = _to_torch_video(frames, init0)
+        mt0 = torch.from_numpy(np.moveaxis(init0, -1, 1)).double()
+        inj_t = torch.from_numpy(np.moveaxis(inj_np, -1, 1)).double()
+        with torch.no_grad():
+            ref_masks, ref_idx = _ref_run_video(
+                ref_model, ft, mt0, OUT_HW, injections={2: inj_t})
+
+        with jax.enable_x64(True):
+            _patch_our_fresh_memory(monkeypatch, kappa_n)
+            variables = _convert_f64(sd)
+            model = SWEM(_our_cfg(n_slots))
+            fj = jnp.asarray(frames)
+            # static-slot layout: 3 channels, slot 2 empty at frame 0
+            mj = np.zeros((1,) + OUT_HW + (n_slots + 1,), np.float64)
+            mj[..., :2] = init0
+            mj = jnp.asarray(mj)
+            inject_mask = np.zeros((1,) + OUT_HW + (n_slots + 1,), np.float64)
+            inject_mask[..., 2] = inj_np[..., 1]
+            active = jnp.asarray([[True, False]])
+
+            mem = engine.init_memory(
+                model, variables, jax.random.PRNGKey(0), fj[0], mj, active)
+            for i in range(1, T):
+                inj_kw = {}
+                if i == 2:
+                    inj_kw = dict(
+                        inject_mask=jnp.asarray(inject_mask),
+                        inject_new=jnp.asarray([[False, True]]),
+                    )
+                mem, pred_idx, pred_mask = engine.step(
+                    model, variables, mem, fj[i], active, OUT_HW,
+                    do_memorize=(i < T - 1), **inj_kw,
+                )
+                if i == 2:
+                    active = jnp.asarray([[True, True]])
+                np.testing.assert_array_equal(
+                    np.asarray(pred_idx), ref_idx[i - 1].numpy(),
+                    err_msg=f"frame {i} pred_idx",
+                )
+                ref_np = np.moveaxis(ref_masks[i - 1].numpy(), 1, -1)
+                ours_np = np.asarray(pred_mask)
+                n_ref = ref_np.shape[-1]
+                np.testing.assert_allclose(
+                    ours_np[..., :n_ref], ref_np, rtol=1e-4, atol=1e-4,
+                    err_msg=f"frame {i} pred_mask (active channels)",
+                )
+                # padded slot stays numerically dead before injection
+                if n_ref < ours_np.shape[-1]:
+                    assert float(ours_np[..., n_ref:].max()) < 1e-5

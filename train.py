@@ -9,7 +9,12 @@ train.py:24-41); the global batch is split across hosts automatically.
 Example:
     python train.py --stage 0 --data_root /data --batch_size 8 --exp s0
     python train.py --stage 3 --data_root /data --batch_size 8 \\
-        --resume logs/SWEM/S0/s0/checkpoints --exp s3
+        --resume logs/SWEM/S0/s0/checkpoints --from_scratch --exp s3
+
+``--from_scratch`` is REQUIRED for stage transfers: without it the resume
+restores the full S0 state including step=300000 >= S3's max_iter, so the
+S3 run exits immediately. Omit it only to continue an interrupted run of
+the SAME stage.
 """
 
 from __future__ import annotations
