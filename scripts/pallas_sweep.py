@@ -105,35 +105,61 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--out", default=None, help="optional JSON output path")
+    p.add_argument("--grid", default=None,
+                   help="semicolon-separated L,N,P triples (default: full grid)")
+    p.add_argument("--row_timeout", type=int, default=900,
+                   help="seconds per (L,N,P) row before it is skipped — the "
+                        "remote compiler has been seen to wedge on single "
+                        "pathological shapes")
     args = p.parse_args()
 
-    grid = []
-    # P = 576 (384² train crop /16), 1620 (480x864 eval /16)
-    for L in (128, 256):
-        for N in (2, 8, 12):
-            for P in (576, 1620):
-                grid.append((L, N, P))
+    if args.grid:
+        grid = [tuple(int(v) for v in row.split(","))
+                for row in args.grid.split(";") if row]
+    else:
+        grid = []
+        # P = 576 (384² train crop /16), 1620 (480x864 eval /16);
+        # N covers the eval slot buckets {2, 4, 8} + the YTVOS cap 12
+        for L in (128, 256):
+            for N in (2, 4, 8, 12):
+                for P in (576, 1620):
+                    grid.append((L, N, P))
+
+    import signal
+
+    class RowTimeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise RowTimeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
 
     rows = []
     print(f"{'L':>4} {'N':>3} {'P':>5} | {'em_xla':>8} {'em_pal':>8} {'ratio':>6} "
-          f"| {'rd_xla':>8} {'rd_pal':>8} {'ratio':>6}")
+          f"| {'rd_xla':>8} {'rd_pal':>8} {'ratio':>6}", flush=True)
     for L, N, P in grid:
+        signal.alarm(args.row_timeout)
         try:
             ex, ep = bench_em(L, N, P, iters=args.iters)
-        except Exception as e:  # VMEM overflow etc.: record and continue
+        except Exception as e:  # VMEM overflow, wedged remote compile, etc.
             ex, ep = float("nan"), float("nan")
-            print(f"em {L},{N},{P} failed: {type(e).__name__}: {e}"[:200])
+            print(f"em {L},{N},{P} failed: {type(e).__name__}: {e}"[:200],
+                  flush=True)
+        signal.alarm(args.row_timeout)
         try:
             rx, rp = bench_read(L, N, P, iters=args.iters)
         except Exception as e:
             rx, rp = float("nan"), float("nan")
-            print(f"read {L},{N},{P} failed: {type(e).__name__}: {e}"[:200])
+            print(f"read {L},{N},{P} failed: {type(e).__name__}: {e}"[:200],
+                  flush=True)
+        signal.alarm(0)
         rows.append(dict(L=L, N=N, P=P, em_xla_ms=ex * 1e3, em_pallas_ms=ep * 1e3,
                          read_xla_ms=rx * 1e3, read_pallas_ms=rp * 1e3))
         print(f"{L:>4} {N:>3} {P:>5} | {ex*1e3:8.3f} {ep*1e3:8.3f} "
               f"{(ep/ex if ex else float('nan')):6.2f} "
               f"| {rx*1e3:8.3f} {rp*1e3:8.3f} "
-              f"{(rp/rx if rx else float('nan')):6.2f}")
+              f"{(rp/rx if rx else float('nan')):6.2f}", flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=1)

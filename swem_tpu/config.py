@@ -36,8 +36,11 @@ class ModelConfig:
     mdim: int = 256  # decoder mid channels
     # Compute dtype for conv towers ('float32' for parity, 'bfloat16' for speed).
     dtype: str = "float32"
-    # Use fused Pallas kernels for the EM inner loop / memory read when True.
-    use_pallas: bool = False
+    # Fused Pallas kernels for the EM inner loop / memory read: True forces
+    # them on, False forces the XLA path, None (default, AUTO) resolves per
+    # call site via ops/policy.py — currently XLA everywhere, the measured
+    # end-to-end conclusion recorded there.
+    use_pallas: Optional[bool] = None
     # Gaussian locality reweighting of the memory read (modules.py:210-230;
     # inference-only, off by default in the reference: n_kernel=0)
     n_kernel: int = 0

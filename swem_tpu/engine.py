@@ -27,6 +27,7 @@ from swem_tpu.models.swem import (
     prepare_em_masks,
     prepare_em_masks_from_idx,
 )
+from swem_tpu.ops.policy import resolve_use_pallas
 from swem_tpu.ops.resize import resize
 
 
@@ -71,7 +72,11 @@ def init_memory(
     em_masks = prepare_em_masks(init_mask, at_least_f32(init_mask), (h, w))
     return em.memorize(
         mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
-        n_iters=cfg.num_em_iters, tau=cfg.em_tau, use_pallas=cfg.use_pallas,
+        n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+        use_pallas=resolve_use_pallas(
+            cfg.use_pallas, op="em", L=cfg.num_bases, n_objs=cfg.max_objs,
+            P=h * w,
+        ),
     )
 
 
@@ -163,7 +168,11 @@ def _memorize_from_pred(model, variables, mem, frame, active,
     em_masks = prepare_em_masks_from_idx(pred_idx, soft_in, (h, w))
     return em.memorize(
         mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
-        n_iters=cfg.num_em_iters, tau=cfg.em_tau, use_pallas=cfg.use_pallas,
+        n_iters=cfg.num_em_iters, tau=cfg.em_tau,
+        use_pallas=resolve_use_pallas(
+            cfg.use_pallas, op="em", L=cfg.num_bases, n_objs=cfg.max_objs,
+            P=h * w,
+        ),
     )
 
 

@@ -24,6 +24,7 @@ from swem_tpu.models import em
 from swem_tpu.models.decoder import Decoder
 from swem_tpu.models.encoders import KeyEncoder, KeyProjection, ValueEncoder
 from swem_tpu.models.layers import GLUFusion, conv3x3
+from swem_tpu.ops.policy import resolve_use_pallas
 from swem_tpu.models.resnet import BACKBONE_FEATURES
 from swem_tpu.ops.resize import resize
 
@@ -139,7 +140,10 @@ class SWEM(nn.Module):
             tau=self.cfg.em_tau, topl=self.cfg.topl_eff,
             n_kernel=self.cfg.n_kernel, sigma=self.cfg.kernel_sigma, hw=(h, w),
             p_drop=self.cfg.p_drop if train else 0.0, drop_rng=drop_rng,
-            use_pallas=self.cfg.use_pallas and not train,
+            use_pallas=resolve_use_pallas(
+                self.cfg.use_pallas, op="read", L=self.cfg.num_bases,
+                n_objs=N, P=h * w, train=train,
+            ),
         )
         Cv = mem_out.shape[-1]
         qv = jnp.broadcast_to(

@@ -17,17 +17,22 @@ Per-block softmax/W-step reductions use static Python loops over the N*2
 L-sized column blocks (branch-probability coupling per object,
 modules.py:93-110). Semantics match em.py::_e_step/_m_step/_w_step.
 
-Status (measured on v5e):
-- inference shapes (P=1620, Ck=L=128, N=2, f32): ~6.8ms standalone vs
-  ~2.4ms for the XLA path — XLA's fusion + pipelining already handles
-  these small-GEMM chains well, and the EM loop is <1ms inside the
-  whole-video scan.
-- training shapes (B=8, T=3, 384^2 -> P=576, bf16 towers): full train
-  step 250.4 ms/step with the kernel vs 247.3 ms/step XLA (identical
-  loss) — the EM loop is a negligible share of the step at either shape.
-The kernel therefore stays an experimental path behind
-ModelConfig.use_pallas (default False); it becomes interesting at larger
-L / object counts where the packed GEMMs grow.
+Status (measured on v5e — full L x N x P sweep table + end-to-end
+validation record in ops/policy.py):
+- op-level, the kernel wins 10-25% at multi-object L=128 shapes and
+  2.6-12.6x at the reference's config-default L=256 eval cells — but
+  NEITHER survives end-to-end: the full production scan measured 1.009x
+  at the L=128 8-slot bucket (the EM loop is ~2 ms of a ~24 ms frame)
+  and 0.999x at L=256/N=4, whose isolated 24.8 ms XLA number is a
+  microbench artifact (the real frame costs ~13.8 ms total — XLA only
+  picks the pathological fusion in a bare scan-of-em_updates program).
+- compile time with the Mosaic kernel inside the scan grew 3-40x
+  through the remote-compile tunnel (20.6 s -> 881.7 s worst case).
+- at training shapes it is step-neutral (250.4 vs 247.3 ms/step,
+  identical loss).
+ModelConfig.use_pallas=None (AUTO, the default) therefore routes every
+call site to XLA; True forces this kernel for experiments. Axis closed
+as a documented negative (VERDICT r2 item 2).
 Note also that f32 matmul chains under tau=0.05 exponentials are chaotic:
 individual prototypes may diverge between backends while representing the
 same distribution (see tests/test_em_pallas.py tolerances).
@@ -36,7 +41,7 @@ same distribution (see tests/test_em_pallas.py tolerances).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,12 +125,16 @@ def em_loop_pallas(
     *,
     n_iters: int,
     tau: float,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the fused EM loop. Shapes as in em.py (f32):
 
     x (B, P, Ck); masks (B, N, 2, P); kappa0 (B, N, 2, Ck, L);
     zita0 (B, N, 2, 1, L) -> (z (B,N,2,P,L), kappa, zita).
+
+    ``interpret=None`` (default) resolves to Pallas interpret mode on
+    non-TPU backends so ``use_pallas=True`` is drivable everywhere (CPU
+    compiled Mosaic is unsupported); TPU gets the compiled kernel.
 
     The whole loop is non-differentiable by SWEM semantics (@torch.no_grad
     on swe/swm/sww — em.em_update wraps the result in stop_gradient), but
@@ -133,6 +142,8 @@ def em_loop_pallas(
     has no autodiff rule. A custom_vjp with zero cotangents makes the kernel
     trainable-code-path safe while preserving those semantics.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
              for a in (x, masks, kappa0, zita0)]
 

@@ -23,22 +23,24 @@ Gradients: inference-only (``ModelConfig.use_pallas`` routes the read here
 only outside training; the XLA path remains the oracle and the training
 path).
 
-Status (measured on v5e, flagship eval shapes B=1, P=1620, Ck=128, Cv=512,
-N=2, Lm=256, f32, scan-amortized): 1.08 ms/read through this kernel vs
-0.91 ms/read for the XLA path (both including the shared top-l feature).
-The kernel body itself is fast, but the wrapper must pack mk/mv into wide
-GEMM layouts and relayout exp_aff from (P, G*Lm) back to the (.., Lm, P)
-layout the top-l extraction wants — those transposes cost more than the
-fused softmax saves, and XLA's own einsum+fusion pipeline already keeps
-the affinity chain off HBM. Kept flag-gated off as a documented negative
-result (VERDICT r1 item 3); revisit if the read layout ever becomes
-channel-major end to end.
+Status (measured on v5e): the round-3 L x N x P sweep (scripts/
+pallas_sweep.py; table in ops/policy.py) confirms the round-2 negative at
+EVERY cell — ratio 0.98-1.12 vs XLA across L in {128, 256}, N in
+{2, 4, 8, 12}, P in {576, 1620}, scan-amortized. The kernel body itself
+is fast, but the wrapper must pack mk/mv into wide GEMM layouts and
+relayout exp_aff from (P, G*Lm) back to the (.., Lm, P) layout the top-l
+extraction wants — those transposes cost more than the fused softmax
+saves, and XLA's own einsum+fusion pipeline already keeps the affinity
+chain off HBM. The AUTO policy (ModelConfig.use_pallas=None) therefore
+never selects this kernel; use_pallas=True still routes inference reads
+here for experiments. Axis closed as a documented negative result;
+revisit only if the read layout ever becomes channel-major end to end.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,7 +123,7 @@ def read_memory_pallas(
     base_valid: jnp.ndarray,
     *,
     tau: float,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused affinity + joint softmax + value read.
 
@@ -129,8 +131,13 @@ def read_memory_pallas(
     mv: (B, N, 2, Cv, Lm); base_valid: (B, N, 2, Lm) bool.
     Returns (mem_out (B, N, P, Cv), exp_aff (B, N, 2, Lm, P)) matching the
     intermediate/output of em.read_memory's XLA formulation.
+    ``interpret=None`` (default) resolves to interpret mode on non-TPU
+    backends so ``use_pallas=True`` is drivable everywhere.
     """
     from swem_tpu.models.em import l2norm
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     B, P, Ck = qk.shape
     N, _, _, Lm = mk.shape[1], mk.shape[2], mk.shape[3], mk.shape[4]

@@ -28,6 +28,7 @@ from flax import struct
 from swem_tpu.config import SWEMConfig
 from swem_tpu.models import em
 from swem_tpu.models.swem import SWEM, hard_mask_from_pred, prepare_em_masks
+from swem_tpu.ops.policy import resolve_use_pallas
 from swem_tpu.train.losses import make_criterion
 
 
@@ -79,7 +80,10 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
         qk16.reshape(B, h * w, -1).astype(jnp.float32),
         mv16.reshape(B, cfg.max_objs, h * w, -1).astype(jnp.float32),
         em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
-        use_pallas=cfg.use_pallas,
+        use_pallas=resolve_use_pallas(
+            cfg.use_pallas, op="em", L=cfg.num_bases, n_objs=cfg.max_objs,
+            P=h * w, train=True,
+        ),
     )
 
     logits_list = []
@@ -108,7 +112,10 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
                 qk16.reshape(B, h * w, -1).astype(jnp.float32),
                 mv16.reshape(B, cfg.max_objs, h * w, -1).astype(jnp.float32),
                 em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
-                use_pallas=cfg.use_pallas,
+                use_pallas=resolve_use_pallas(
+                    cfg.use_pallas, op="em", L=cfg.num_bases,
+                    n_objs=cfg.max_objs, P=h * w, train=True,
+                ),
             )
     return jnp.stack(logits_list, axis=1)
 
