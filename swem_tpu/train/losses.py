@@ -69,17 +69,21 @@ def _kth_largest_nonneg(rows: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     here needs a backward permutation (the result is used under
     stop-gradient semantics).
 
-    rows: (R, P) f32 >= 0; k: () or (R,) int32 in [1, P].
-    Returns (R,) f32 — the exact k-th largest value of each row.
+    rows: (R, P) f32/f64 >= 0; k: () or (R,) int32 in [1, P].
+    Returns (R,) — the exact k-th largest value of each row. The f64 branch
+    (64 passes, uint64 patterns) exists for the f64 parity oracles; the
+    production train step runs the 32-pass f32 branch.
     """
-    bits = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+    uint = jnp.uint64 if rows.dtype == jnp.float64 else jnp.uint32
+    nbits = jnp.dtype(uint).itemsize * 8
+    bits = jax.lax.bitcast_convert_type(rows, uint)
     R = rows.shape[0]
-    t = jnp.zeros((R,), jnp.uint32)
-    for b in range(31, -1, -1):
-        cand = t | jnp.uint32(1 << b)
+    t = jnp.zeros((R,), uint)
+    for b in range(nbits - 1, -1, -1):
+        cand = t | uint(1 << b)
         cnt = jnp.sum((bits >= cand[:, None]).astype(jnp.int32), axis=-1)
         t = jnp.where(cnt >= k, cand, t)
-    return jax.lax.bitcast_convert_type(t, jnp.float32)
+    return jax.lax.bitcast_convert_type(t, rows.dtype)
 
 
 def bootstrapped_ce(logits, target, it, valid_obj=None, *,

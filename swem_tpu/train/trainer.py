@@ -27,7 +27,12 @@ from flax import struct
 
 from swem_tpu.config import SWEMConfig
 from swem_tpu.models import em
-from swem_tpu.models.swem import SWEM, hard_mask_from_pred, prepare_em_masks
+from swem_tpu.models.swem import (
+    SWEM,
+    at_least_f32,
+    hard_mask_from_pred,
+    prepare_em_masks,
+)
 from swem_tpu.ops.policy import resolve_use_pallas
 from swem_tpu.train.losses import make_criterion
 
@@ -74,11 +79,11 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
                        method="encode_value")
     h, w = qk16.shape[1:3]
     mem = em.fresh_memory(rng, B, cfg.max_objs, cfg.keydim, cfg.valdim, cfg.num_bases)
-    em_masks = prepare_em_masks(init_mask, init_mask.astype(jnp.float32), (h, w))
+    em_masks = prepare_em_masks(init_mask, at_least_f32(init_mask), (h, w))
     mem = em.memorize(
         mem,
-        qk16.reshape(B, h * w, -1).astype(jnp.float32),
-        mv16.reshape(B, cfg.max_objs, h * w, -1).astype(jnp.float32),
+        at_least_f32(qk16.reshape(B, h * w, -1)),
+        at_least_f32(mv16.reshape(B, cfg.max_objs, h * w, -1)),
         em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
         use_pallas=resolve_use_pallas(
             cfg.use_pallas, op="em", L=cfg.num_bases, n_objs=cfg.max_objs,
@@ -109,8 +114,8 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
             em_masks = prepare_em_masks(hard, pred_mask, (h, w))
             mem = em.memorize(
                 mem,
-                qk16.reshape(B, h * w, -1).astype(jnp.float32),
-                mv16.reshape(B, cfg.max_objs, h * w, -1).astype(jnp.float32),
+                at_least_f32(qk16.reshape(B, h * w, -1)),
+                at_least_f32(mv16.reshape(B, cfg.max_objs, h * w, -1)),
                 em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
                 use_pallas=resolve_use_pallas(
                     cfg.use_pallas, op="em", L=cfg.num_bases,
