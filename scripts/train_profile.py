@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Op-level profile of the flagship train step (one TPU chip).
+
+Jits the production train step at the S3 configuration (bs8, 384², T=3,
+bf16 towers), warms up, traces K steps with jax.profiler, then parses the
+vm.trace.json.gz (CLAUDE.md recipe) and prints total device time summed by
+fusion/op name — the map from step-ms to actual HLO hotspots.
+
+Run:  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/train_profile.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from train_bench import make_host_batch  # noqa: E402 (scripts/ sibling)
+
+
+def parse_trace(trace_dir):
+    paths = glob.glob(os.path.join(
+        trace_dir, "plugins/profile/*/*.trace.json.gz"))
+    assert paths, f"no trace under {trace_dir}"
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    by_name = defaultdict(float)
+    counts = defaultdict(int)
+    total = 0.0
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        # keep only device lanes (XLA ops); skip host-side python/runtime
+        name = ev.get("name", "")
+        args = ev.get("args") or {}
+        if "run_id" not in args and "tf_op" not in args and not name.startswith(
+                ("fusion", "convolution", "copy", "loop_", "wide.", "custom-call",
+                 "dot", "transpose", "bitcast", "reduce", "scatter", "select",
+                 "dynamic", "broadcast", "concatenate", "slice", "rng",
+                 "all-reduce", "add", "multiply", "iota", "constant", "pad",
+                 "reshape", "convert", "compare", "tuple", "get-tuple",
+                 "exponential", "divide", "subtract", "maximum", "minimum")):
+            continue
+        by_name[name] += ev["dur"]
+        counts[name] += 1
+        total += ev["dur"]
+    return by_name, counts, total
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--trace_dir", default="/tmp/train_trace")
+    p.add_argument("--top", type=int, default=40)
+    args = p.parse_args()
+
+    from swem_tpu.config import (LossConfig, ModelConfig, SolverConfig,
+                                 SWEMConfig)
+    from swem_tpu.models.swem import SWEM
+    from swem_tpu.train import (create_train_state, make_optimizer,
+                                make_train_step)
+
+    model_cfg = ModelConfig(dtype="bfloat16")
+    cfg = SWEMConfig(model=model_cfg, solver=SolverConfig(), loss=LossConfig())
+    model = SWEM(model_cfg)
+    tx, _ = make_optimizer(cfg.solver)
+
+    rng = np.random.default_rng(0)
+    batch_np = make_host_batch(rng, B=args.batch)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), tx,
+        jnp.asarray(batch_np["frames"][:1, 0]),
+        jnp.asarray(batch_np["masks"][:1, 0]),
+    )
+    batch = jax.device_put({k: jnp.asarray(v) for k, v in batch_np.items()})
+    step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+
+    print("compiling + warmup ...", flush=True)
+    state, metrics = step(state, batch, key)
+    print("warmup loss:", float(metrics["total_loss"]), flush=True)
+
+    import time
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch, key)
+    _ = float(metrics["total_loss"])  # materialize = sync (CLAUDE.md)
+    wall = (time.perf_counter() - t0) / args.steps * 1e3
+    print(f"steady-state step: {wall:.1f} ms", flush=True)
+
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(args.steps):
+            state, metrics = step(state, batch, key)
+        _ = float(metrics["total_loss"])
+
+    by_name, counts, total = parse_trace(args.trace_dir)
+    per_step = total / args.steps / 1e3
+    print(f"\ndevice total: {per_step:.1f} ms/step over {args.steps} steps")
+    print(f"{'ms/step':>9} {'%':>5} {'n':>5}  name")
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
+        print(f"{dur / args.steps / 1e3:9.3f} {100 * dur / total:5.1f} "
+              f"{counts[name] // args.steps:5d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -334,6 +334,26 @@ def _perm_inv_feat(exp_aff: jnp.ndarray, topl: int) -> jnp.ndarray:
     return jnp.concatenate([ratio, 1.0 - ratio], axis=-1)
 
 
+def _perm_inv_feat_sorted(exp_aff: jnp.ndarray, topl: int) -> jnp.ndarray:
+    """``_perm_inv_feat`` via ``lax.top_k`` — for the differentiated path.
+
+    Identical values (a prefix sum over descending-sorted top-l values is
+    the same sequence either way, ties included), but O(1) memory passes
+    instead of the scan's ``topl`` round trips: at the flagship train shape
+    the scan's 64-iteration loop runs in fwd AND transposed bwd per
+    supervised frame, while top_k's backward is a single gather. Measured
+    (v5e, bs8 384² bf16, scripts/train_bench.py): 164.6 -> 154.5 ms/step.
+    Forward-only eval keeps the scan variant (measured 17x faster there —
+    the variadic sort loses on the much larger eval P with B=1).
+    """
+    x = jnp.swapaxes(exp_aff, -2, -1)  # (B, N, 2, P, Lm): Lm minor for sort
+    tops, _ = jax.lax.top_k(x, topl)  # descending values (B, N, 2, P, topl)
+    feat = jnp.cumsum(tops, axis=-1)
+    bg, fg = feat[:, :, 0], feat[:, :, 1]  # branch 0 = bg (swem.py:80-84)
+    ratio = bg / (bg + fg + 1e-30)  # (B, N, P, topl)
+    return jnp.concatenate([ratio, 1.0 - ratio], axis=-1)
+
+
 def _gaussian_kernels(aff: jnp.ndarray, hw: Tuple[int, int], n_kernel: int,
                       sigma: float, tau: float) -> jnp.ndarray:
     """Gaussian locality reweighting (modules.py:210-230, inference-only).
@@ -372,6 +392,7 @@ def read_memory(
     p_drop: float = 0.0,
     drop_rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    differentiable: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Attention-style memory read (modules.py:232-293).
 
@@ -397,13 +418,16 @@ def read_memory(
     ``use_pallas`` routes the affinity/softmax/read through the fused VMEM
     kernel (ops/read_pallas.py, inference-only — the caller gates on
     training); the Gaussian-kernel and p_drop variants always take the XLA
-    path.
+    path. ``differentiable=True`` (the training path) extracts the top-l
+    feature with the sort-based variant, whose backward is a single gather
+    instead of re-running the argmax-delete scan.
     """
+    top_feat = _perm_inv_feat_sorted if differentiable else _perm_inv_feat
     if use_pallas and n_kernel == 0 and not (p_drop > 0.0 and drop_rng is not None):
         from swem_tpu.ops.read_pallas import read_memory_pallas
 
         mem_out, exp_aff = read_memory_pallas(qk, mk, mv, base_valid, tau=tau)
-        return mem_out, _perm_inv_feat(exp_aff, topl)
+        return mem_out, top_feat(exp_aff, topl)
 
     qk = l2norm(qk, axis=-1)
     mk = l2norm(mk, axis=-2)
@@ -433,5 +457,5 @@ def read_memory(
         p_aff = exp_aff / (denom + 1e-30)
     mem_out = _einsum(
         "bnsvl,bnslp->bnpv", mv, p_aff)
-    S = _perm_inv_feat(exp_aff, topl)
+    S = top_feat(exp_aff, topl)
     return mem_out, S

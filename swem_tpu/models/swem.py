@@ -144,6 +144,7 @@ class SWEM(nn.Module):
                 self.cfg.use_pallas, op="read", L=self.cfg.num_bases,
                 n_objs=N, P=h * w, train=train,
             ),
+            differentiable=train,
         )
         Cv = mem_out.shape[-1]
         qv = jnp.broadcast_to(

@@ -312,6 +312,45 @@ class TestReadMemory:
         # the drop actually changed something
         assert not np.allclose(np.asarray(out_drop), self.np_read(qk, mk, mv, tau, topl)[0])
 
+    def test_sorted_top_feat_matches_scan_variant(self, rng):
+        """The differentiated-path top-l feature (lax.top_k) must equal the
+        argmax-delete scan variant bit-for-bit, ties included."""
+        B, N, Lm, P, topl = 2, 2, 16, 24, 4
+        exp_aff = np.exp(
+            rng.standard_normal((B, N, 2, Lm, P)).astype(np.float32))
+        # inject exact ties so both tie-handling paths are exercised
+        exp_aff[0, 0, 0, 3] = exp_aff[0, 0, 0, 7]
+        exp_aff[1, 1, 1, 0] = exp_aff[1, 1, 1, 1]
+        a = np.asarray(em._perm_inv_feat(jnp.asarray(exp_aff), topl))
+        b = np.asarray(em._perm_inv_feat_sorted(jnp.asarray(exp_aff), topl))
+        np.testing.assert_array_equal(a, b)
+
+    def test_differentiable_read_matches_and_has_finite_grads(self, rng):
+        """read_memory(differentiable=True) is value-identical to the eval
+        path and its gradients w.r.t. every input are finite."""
+        B, N, P, Ck, Cv, L = 1, 2, 24, 8, 12, 16
+        qk = jnp.asarray(rng.standard_normal((B, P, Ck)).astype(np.float32))
+        mk = jnp.asarray(rng.standard_normal((B, N, 2, Ck, L)).astype(np.float32))
+        mv = jnp.asarray(rng.standard_normal((B, N, 2, Cv, L)).astype(np.float32))
+        valid = jnp.ones((B, N, 2, L), bool)
+        out_e, S_e = em.read_memory(qk, mk, mv, valid, tau=0.05, topl=4)
+        out_t, S_t = em.read_memory(
+            qk, mk, mv, valid, tau=0.05, topl=4, differentiable=True)
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_e),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(S_t), np.asarray(S_e),
+                                   rtol=1e-6, atol=1e-7)
+
+        def loss(qk, mk, mv):
+            o, S = em.read_memory(
+                qk, mk, mv, valid, tau=0.05, topl=4, differentiable=True)
+            return jnp.sum(o ** 2) + jnp.sum(S ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(qk, mk, mv)
+        for g in grads:
+            assert np.all(np.isfinite(np.asarray(g)))
+            assert np.any(np.asarray(g) != 0)
+
     def test_no_nans_for_unseen_objects(self, rng):
         B, N, P, Ck, Cv, L = 1, 2, 24, 8, 12, 16
         qk = rng.standard_normal((B, P, Ck)).astype(np.float32)
