@@ -41,6 +41,10 @@ def get_args():
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--video_batch", type=int, default=1,
                    help="videos per device batch (throughput mode)")
+    p.add_argument("--obj_parallel", type=int, default=1,
+                   help="shard each video's object slots over this many "
+                        "chips (multi-chip latency for many-object videos; "
+                        "composes with --video_batch)")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--scales", type=int, nargs="+", default=[480],
                    help="multi-scale inference (score averaging)")
@@ -69,7 +73,7 @@ def build_config(args):
         max_objs=args.max_objs, visualize=args.visualize, chunk=args.chunk,
         davis_in_size=tuple(args.davis_in_size),
         scales=tuple(args.scales), flip=args.flip,
-        video_batch=args.video_batch,
+        video_batch=args.video_batch, obj_parallel=args.obj_parallel,
     )
     return SWEMConfig(model=model, eval=ev, solver=SolverConfig(stage=args.stage),
                       exp_name=args.exp_name, log_dir=args.log_dir, resume=args.resume)

@@ -134,6 +134,11 @@ class EvalConfig:
     max_objs: int = 8  # static object-slot budget at eval time
     flip: bool = False
     scales: Sequence[int] = (480,)
+    # shard each video's object slots over this many chips (object
+    # parallelism — multi-chip latency for many-object videos; 1 = off).
+    # A TPU-native extension; the reference is strictly single-device at
+    # eval time. Composes with video_batch (the mesh becomes 2-D).
+    obj_parallel: int = 1
 
 
 @dataclass(frozen=True)

@@ -48,18 +48,22 @@ def init_memory(
     frame0: jnp.ndarray,
     init_mask: jnp.ndarray,
     active: jnp.ndarray,
+    sharding=None,
 ) -> em.VOSMemory:
     """Frame-0 memory initialization (swem_evaluator.py:65-69, swem.py:64-67).
 
     frame0: (B, H, W, 3) at inference size; init_mask: (B, Ho, Wo, N+1) hard
     one-hot at output size (memorize interpolates it to 1/16 itself);
-    active: (B, N) live-object flags.
+    active: (B, N) live-object flags. ``sharding``: optional
+    ``parallel.EngineSharding`` for object-parallel execution.
     """
     cfg = model.cfg
     qk16, _, s16, _, _ = model.apply(variables, frame0, method="encode_key")
     in_size = frame0.shape[1:3]
     init_mask_in = resize(at_least_f32(init_mask), in_size, "nearest")
     mv16 = model.apply(variables, frame0, init_mask_in, s16, method="encode_value")
+    if sharding is not None:
+        mv16 = sharding.bn(mv16)
     B, h, w, _ = qk16.shape
     # The random prototype draw is shared across the batch so a video's
     # result is independent of its batch position (video_batch throughput
@@ -69,8 +73,10 @@ def init_memory(
     one = em.fresh_memory(rng, 1, cfg.max_objs, cfg.keydim, cfg.valdim, cfg.num_bases)
     mem = jax.tree.map(lambda t: jnp.broadcast_to(t, (B,) + t.shape[1:])
                        if t.ndim > 0 else t, one)
+    if sharding is not None:
+        mem = sharding.mem(mem)
     em_masks = prepare_em_masks(init_mask, at_least_f32(init_mask), (h, w))
-    return em.memorize(
+    mem = em.memorize(
         mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
         n_iters=cfg.num_em_iters, tau=cfg.em_tau,
         use_pallas=resolve_use_pallas(
@@ -78,6 +84,7 @@ def init_memory(
             P=h * w,
         ),
     )
+    return sharding.mem(mem) if sharding is not None else mem
 
 
 def encode_keys_batched(model: SWEM, variables, frames: jnp.ndarray):
@@ -109,6 +116,7 @@ def step(
     inject_mask: Optional[jnp.ndarray] = None,
     inject_new: Optional[jnp.ndarray] = None,
     keys=None,
+    sharding=None,
 ):
     """One inference frame (swem_evaluator.py:72-101).
 
@@ -126,6 +134,8 @@ def step(
         keys = model.apply(variables, frame, method="encode_frame")
     qk16, qv16, s16, skip8, skip4, vf = keys
     context = model.apply(variables, qk16, qv16, mem, method="match")
+    if sharding is not None:
+        context = sharding.bn(context)
     _, pred_mask = model.apply(
         variables, context, skip8, skip4, active.astype(jnp.float32), out_size,
         method="decode",
@@ -148,25 +158,27 @@ def step(
     if do_memorize:
         mem = _memorize_from_pred(
             model, variables, mem, frame, active, qk16, s16, vf,
-            pred_idx, pred_mask,
+            pred_idx, pred_mask, sharding=sharding,
         )
 
     return mem, pred_idx, pred_mask
 
 
 def _memorize_from_pred(model, variables, mem, frame, active,
-                        qk16, s16, vf, pred_idx, pred_mask):
+                        qk16, s16, vf, pred_idx, pred_mask, sharding=None):
     """Value-encode the predicted mask and EM-update the memory
     (swem_evaluator.py:91-93 re-encode + memorize)."""
     cfg = model.cfg
     in_size = frame.shape[1:3]
     soft_in = resize(pred_mask, in_size, "bilinear")
     mv16 = model.apply(variables, frame, soft_in, s16, vf, method="encode_value")
+    if sharding is not None:
+        mv16 = sharding.bn(mv16)
     h, w = qk16.shape[1:3]
     # the hard mask enters EM only at 1/16: one-hot after the nearest
     # resize instead of materializing the (Ho, Wo, N+1) one-hot
     em_masks = prepare_em_masks_from_idx(pred_idx, soft_in, (h, w))
-    return em.memorize(
+    mem = em.memorize(
         mem, _flat_qk(qk16), _flat_mv(mv16), em_masks, active,
         n_iters=cfg.num_em_iters, tau=cfg.em_tau,
         use_pallas=resolve_use_pallas(
@@ -174,6 +186,7 @@ def _memorize_from_pred(model, variables, mem, frame, active,
             P=h * w,
         ),
     )
+    return sharding.mem(mem) if sharding is not None else mem
 
 
 def run_video(
@@ -251,6 +264,7 @@ def run_chunk(
     final_mask: Optional[jnp.ndarray] = None,
     inject_idx: Optional[jnp.ndarray] = None,
     inject_new: Optional[jnp.ndarray] = None,
+    sharding=None,
 ) -> Tuple[em.VOSMemory, jnp.ndarray]:
     """Scan a fixed-size chunk of frames, carrying the memory.
 
@@ -293,6 +307,8 @@ def run_chunk(
             frame, k, is_final = xs
         qk16, qv16, s16, skip8, skip4, vf = k
         context = model.apply(variables, qk16, qv16, mem, method="match")
+        if sharding is not None:
+            context = sharding.bn(context)
         _, pred_mask = model.apply(
             variables, context, skip8, skip4, active.astype(jnp.float32),
             out_size, method="decode",
@@ -322,12 +338,14 @@ def run_chunk(
             lambda m: m,
             lambda m: _memorize_from_pred(
                 model, variables, m, frame, active, qk16, s16, vf,
-                pred_idx, pred_mask,
+                pred_idx, pred_mask, sharding=sharding,
             ),
             mem,
         )
         return (mem, active), (pred_mask if scores else pred_idx)
 
+    if sharding is not None:
+        mem = sharding.mem(mem)
     xs = (frames, keys, final_mask)
     if injectable:
         xs = xs + (inject_idx, inject_new)
@@ -358,11 +376,17 @@ class ChunkedVideoRunner:
     def __init__(self, model: SWEM, out_size: Tuple[int, int], chunk: int = 16,
                  scores: bool = False, preprocess=None, mesh=None,
                  injectable: bool = False):
-        """``mesh``: optional 1-D 'data' mesh — the video-batch dim shards
-        over it, so B videos evaluate concurrently on B/n_devices chips each
-        carrying an independent memory (multi-chip throughput eval; the
-        computation follows the input shardings, no collectives needed —
-        every video is independent).
+        """``mesh``: optional device mesh. A 1-D 'data' mesh shards the
+        video-batch dim, so B videos evaluate concurrently on B/n_devices
+        chips each carrying an independent memory (multi-chip throughput
+        eval; the computation follows the input shardings, no collectives
+        needed — every video is independent). A mesh with an 'obj' axis
+        (``parallel.make_mesh2``) additionally shards the padded object
+        slots: the per-object value-encoder/fusion/decoder towers split
+        across chips with one all-gather per frame at the soft-aggregation
+        (see ``parallel.EngineSharding``) — multi-chip *latency* for
+        many-object videos, composable with 'data'. 'obj' must divide the
+        model's ``max_objs``.
 
         ``injectable``: compile the chunk programs with per-frame
         (inject_idx, inject_new) scan inputs for YTVOS mid-video object
@@ -375,20 +399,34 @@ class ChunkedVideoRunner:
         self.scores = scores
         self.mesh = mesh
         self.injectable = injectable
+        esh = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
-            self._shard_b = NamedSharding(mesh, Pspec("data"))      # (B, ...)
-            self._shard_tb = NamedSharding(mesh, Pspec(None, "data"))  # (T, B, ...)
+            data = "data" if "data" in mesh.axis_names else None
+            self._shard_b = NamedSharding(mesh, Pspec(data))      # (B, ...)
+            self._shard_tb = NamedSharding(mesh, Pspec(None, data))  # (T, B, ...)
+            self._shard_rep = NamedSharding(mesh, Pspec())        # replicated
+            self._vars_cache = (None, None)  # (id(variables), replicated copy)
+            if "obj" in mesh.axis_names:
+                from swem_tpu.parallel import EngineSharding
+
+                esh = EngineSharding(mesh)
+                if model.cfg.max_objs % esh.n_obj:
+                    raise ValueError(
+                        f"max_objs={model.cfg.max_objs} not divisible by "
+                        f"the mesh 'obj' axis ({esh.n_obj})")
         pre = preprocess if preprocess is not None else (lambda f: f)
         self._init = jax.jit(
-            lambda v, r, f, m, a: init_memory(model, v, r, pre(f), m, a)
+            lambda v, r, f, m, a: init_memory(model, v, r, pre(f), m, a,
+                                              sharding=esh)
         )
         if injectable:
             self._chunk = jax.jit(
                 lambda v, mem, f, a, fin, ii, inw: run_chunk(
                     model, v, mem, pre(f), a, out_size, scores=scores,
                     final_mask=fin, inject_idx=ii, inject_new=inw,
+                    sharding=esh,
                 ),
                 donate_argnums=(1,),
             )
@@ -396,11 +434,29 @@ class ChunkedVideoRunner:
             self._chunk = jax.jit(
                 lambda v, mem, f, a, fin: run_chunk(
                     model, v, mem, pre(f), a, out_size, scores=scores,
-                    final_mask=fin,
+                    final_mask=fin, sharding=esh,
                 ),
                 donate_argnums=(1,),
             )
         self._pre = pre
+
+    def _mesh_vars(self, variables):
+        """Replicate the variables over the mesh (cached per pytree).
+
+        Checkpoint-restored variables arrive COMMITTED to one device
+        (orbax gives SingleDeviceSharding arrays); jitting them together
+        with mesh-sharded inputs is an error ("incompatible devices"), so
+        they must be explicitly replicated. ``model.init`` outputs are
+        uncommitted and would auto-replicate, but going through the same
+        device_put is free for them and keeps one code path. Cached by
+        pytree identity: the evaluator calls with the same variables dict
+        every video.
+        """
+        key, rep = self._vars_cache
+        if key != id(variables):
+            rep = jax.device_put(variables, self._shard_rep)
+            self._vars_cache = (id(variables), rep)
+        return rep
 
     def _ladder(self):
         """Descending powers of two below ``chunk``.
@@ -442,6 +498,7 @@ class ChunkedVideoRunner:
             f0 = jax.device_put(f0, self._shard_b)
             m = jax.device_put(m, self._shard_b)
             a = jax.device_put(a, self._shard_b)
+            variables = self._mesh_vars(variables)
         rng = jax.random.PRNGKey(0)
         mem = self._init(variables, rng, f0, m, a)
         for size in [self.chunk] + self._ladder():
@@ -507,6 +564,7 @@ class ChunkedVideoRunner:
             # runs data-parallel (computation follows the input shardings)
             init_mask = jax.device_put(init_mask, self._shard_b)
             active = jax.device_put(active, self._shard_b)
+            variables = self._mesh_vars(variables)
         mem = self._init(variables, rng, frames[0] if self.mesh is None
                          else jax.device_put(frames[0], self._shard_b),
                          init_mask, active)

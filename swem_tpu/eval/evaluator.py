@@ -32,6 +32,7 @@ from swem_tpu.engine import ChunkedVideoRunner
 from swem_tpu.models.swem import SWEM
 from swem_tpu.ops.resize import resize
 from swem_tpu.utils import FrameSecondMeter, mkdir, setup_logger
+from swem_tpu.utils.host_io import AsyncWriter, prefetch
 
 DAVIS_IN_SIZE = (480, 864)  # basic_evaluator.py:160
 
@@ -105,10 +106,42 @@ class Evaluator:
 
         return SWEM(dataclasses.replace(self.model.cfg, max_objs=n_slots))
 
+    def _obj_mesh(self, n_slots: int, n_data: int = 1):
+        """('data', 'obj') mesh for object-parallel eval, or None when off.
+
+        Shards each video's padded object slots over ``obj_parallel`` chips
+        (clamped to the slot bucket and the device count); the per-object
+        value-encoder/fusion/decoder towers then split across chips with one
+        all-gather per frame at the soft-aggregation (parallel.EngineSharding).
+        """
+        k = self.cfg.eval.obj_parallel
+        if k <= 1:
+            return None
+        import jax as _jax
+
+        from swem_tpu.parallel import make_mesh2
+
+        ndev = _jax.device_count()
+        k = min(k, n_slots, max(1, ndev // n_data))
+        if k <= 1:
+            return None
+        if n_slots % k:
+            # slot buckets are powers of two; a non-dividing k would need
+            # uneven shards — halve until it divides
+            while n_slots % k:
+                k //= 2
+            if k <= 1:
+                return None
+        return make_mesh2(n_data=n_data, n_obj=k)
+
     def _runner(self, out_size, batch: int = 1, n_slots: int = None,
                 mesh=None) -> ChunkedVideoRunner:
         n_slots = n_slots or self.n_slots
-        key = (out_size, batch, n_slots, mesh is not None)
+        if mesh is None:
+            mesh = self._obj_mesh(n_slots)
+        mesh_key = None if mesh is None else (
+            tuple(mesh.axis_names), tuple(mesh.devices.shape))
+        key = (out_size, batch, n_slots, mesh_key)
         if key not in self._runners:
             runner = ChunkedVideoRunner(self._model_for(n_slots), out_size,
                                         chunk=self.cfg.eval.chunk,
@@ -134,44 +167,53 @@ class Evaluator:
         multi_scale = (
             tuple(self.cfg.eval.scales) != (480,) or self.cfg.eval.flip
         )
-        for seq_idx, video in enumerate(self.dataset):
-            T, Ho, Wo, _ = video.frames.shape
-            out_dir = os.path.join(self.out_root, video.name)
-            mkdir(out_dir)
-            self.logger.info(f"Testing video {seq_idx}: {video.name} ({T} frames)")
+        # video N+1 decodes on a background thread while N computes, and
+        # video N's PNGs encode while N+1 computes (the reference gets the
+        # decode half from DataLoader num_workers=4, basic_evaluator.py:62)
+        videos = prefetch(self.dataset.__getitem__, range(len(self.dataset)))
+        with AsyncWriter() as writer:
+            for seq_idx, video in enumerate(videos):
+                T, Ho, Wo, _ = video.frames.shape
+                out_dir = os.path.join(self.out_root, video.name)
+                mkdir(out_dir)
+                self.logger.info(
+                    f"Testing video {seq_idx}: {video.name} ({T} frames)")
 
-            frames = video.frames[:, None]  # (T, 1, H, W, 3) host uint8 view
-            bucket = self._slot_bucket(video.n_objs)
-            # host arrays throughout: the jitted programs upload them
-            init_mask = video.init_mask[None, ..., : bucket + 1]
-            active = np.zeros((1, bucket), bool)
-            active[:, : video.n_objs] = True
+                frames = video.frames[:, None]  # (T, 1, H, W, 3) host uint8 view
+                bucket = self._slot_bucket(video.n_objs)
+                # host arrays throughout: the jitted programs upload them
+                init_mask = video.init_mask[None, ..., : bucket + 1]
+                active = np.zeros((1, bucket), bool)
+                active[:, : video.n_objs] = True
 
-            if multi_scale:
-                preds = self._run_multi_scale(
-                    rng, frames, init_mask, active, (Ho, Wo), bucket,
-                    fps=fps, n_frames=T,
-                )
-            else:
-                # runner creation (compile/warmup) sits outside the timed
-                # span, like the reference; per-chunk uint8 uploads land
-                # inside it (the reference moves the video to device before
-                # tic, basic_evaluator.py:160-171 — ~4 ms/video of H2D on a
-                # real host, counted here for honesty)
-                runner = self._runner((Ho, Wo), n_slots=bucket)
-                fps.tic()
-                preds = runner(self.variables, rng, frames, init_mask, active)
-                fps.toc(T)
+                if multi_scale:
+                    preds = self._run_multi_scale(
+                        rng, frames, init_mask, active, (Ho, Wo), bucket,
+                        fps=fps, n_frames=T,
+                    )
+                else:
+                    # runner creation (compile/warmup) sits outside the timed
+                    # span, like the reference; per-chunk uint8 uploads land
+                    # inside it (the reference moves the video to device before
+                    # tic, basic_evaluator.py:160-171 — ~4 ms/video of H2D on a
+                    # real host, counted here for honesty)
+                    runner = self._runner((Ho, Wo), n_slots=bucket)
+                    fps.tic()
+                    preds = runner(self.variables, rng, frames, init_mask, active)
+                    fps.toc(T)
 
-            first = np.argmax(video.init_mask, axis=-1).astype(np.uint8)
-            save_seg_mask(first, os.path.join(out_dir, f"{video.frame_names[0]}.png"),
-                          self.davis_palette)
-            for t in range(1, T):
-                save_seg_mask(preds[t - 1, 0],
-                              os.path.join(out_dir, f"{video.frame_names[t]}.png"),
-                              self.davis_palette)
-            if self.cfg.eval.visualize:
-                self._save_overlays(video, preds, out_dir)
+                first = np.argmax(video.init_mask, axis=-1).astype(np.uint8)
+                writer.submit(
+                    save_seg_mask, first,
+                    os.path.join(out_dir, f"{video.frame_names[0]}.png"),
+                    self.davis_palette)
+                for t in range(1, T):
+                    writer.submit(
+                        save_seg_mask, preds[t - 1, 0],
+                        os.path.join(out_dir, f"{video.frame_names[t]}.png"),
+                        self.davis_palette)
+                if self.cfg.eval.visualize:
+                    self._save_overlays(video, preds, out_dir)
         fps.end()
         self.logger.info(f"fps: {fps.fps}")
         return fps.fps
@@ -195,11 +237,29 @@ class Evaluator:
         # the strictly single-GPU-sequential reference has no analogue for)
         mesh = None
         ndev = jax.device_count()
-        if ndev > 1 and vb % ndev == 0:
-            from swem_tpu.parallel import make_mesh
+        n_obj = 1
+        if self.cfg.eval.obj_parallel > 1:
+            # 2-D: videos over 'data', each video's slots over 'obj'
+            n_obj = min(self.cfg.eval.obj_parallel, ndev)
+            while ndev % n_obj:
+                n_obj //= 2
+        n_data = ndev // n_obj
+        # a video batch that doesn't divide the data extent shards over
+        # fewer chips (some idle) rather than not at all
+        while n_data > 1 and vb % n_data:
+            n_data //= 2
+        if n_data * n_obj > 1:
+            if n_obj > 1:
+                # slot buckets vary per group; the mesh obj-extent is fixed,
+                # so _runner re-derives the bucket-clamped mesh per group
+                mesh = "obj2d"
+            else:
+                from swem_tpu.parallel import make_mesh
 
-            mesh = make_mesh()
-            self.logger.info(f"sharding video batches over {ndev} devices")
+                mesh = make_mesh(n_data)
+            self.logger.info(
+                f"sharding video batches over {n_data} devices"
+                + ("" if n_obj == 1 else f" x {n_obj} object shards"))
         # group by (output size, slot bucket) from file headers only —
         # videos are decoded one batch at a time (a full eager pass would
         # hold the whole dataset's frame stacks in host RAM) — and sort each
@@ -210,11 +270,19 @@ class Evaluator:
             bucket = self._slot_bucket(n_objs)
             groups.setdefault((out_size, bucket), []).append((idx, n_frames))
 
+        # flat batch plan so the decode-ahead thread crosses group
+        # boundaries: batch P+1 decodes while batch P computes
+        plan = []
         for (out_size, bucket), items in groups.items():
             items.sort(key=lambda t: t[1])
             indices = [t[0] for t in items]
-            for i in range(0, len(indices), vb):
-                batch_videos = [self.dataset[j] for j in indices[i : i + vb]]
+            plan += [((out_size, bucket), indices[i : i + vb])
+                     for i in range(0, len(indices), vb)]
+        decoded = prefetch(
+            lambda p: (p[0], [self.dataset[j] for j in p[1]]), plan, depth=1)
+
+        with AsyncWriter() as writer:
+            for (out_size, bucket), batch_videos in decoded:
                 B = len(batch_videos)
                 Ho, Wo = batch_videos[0].init_mask.shape[:2]
                 T_max = max(v.frames.shape[0] for v in batch_videos)
@@ -230,9 +298,12 @@ class Evaluator:
                 active = np.zeros((B, bucket), bool)
                 for b, v in enumerate(batch_videos):
                     active[b, : v.n_objs] = True
+                group_mesh = None
+                if mesh is not None and B % n_data == 0:
+                    group_mesh = (self._obj_mesh(bucket, n_data=n_data)
+                                  if mesh == "obj2d" else mesh)
                 runner = self._runner(
-                    (Ho, Wo), batch=B, n_slots=bucket,
-                    mesh=mesh if (mesh is not None and B % ndev == 0) else None,
+                    (Ho, Wo), batch=B, n_slots=bucket, mesh=group_mesh,
                 )
                 fps.tic()
                 preds = runner(self.variables, rng, frames, init_mask,
@@ -242,14 +313,15 @@ class Evaluator:
                     out_dir = os.path.join(self.out_root, v.name)
                     mkdir(out_dir)
                     first = np.argmax(v.init_mask, axis=-1).astype(np.uint8)
-                    save_seg_mask(first, os.path.join(out_dir, f"{v.frame_names[0]}.png"),
-                                  self.davis_palette)
+                    writer.submit(
+                        save_seg_mask, first,
+                        os.path.join(out_dir, f"{v.frame_names[0]}.png"),
+                        self.davis_palette)
                     for t in range(1, v.frames.shape[0]):
-                        save_seg_mask(
-                            preds[t - 1, b],
+                        writer.submit(
+                            save_seg_mask, preds[t - 1, b],
                             os.path.join(out_dir, f"{v.frame_names[t]}.png"),
-                            self.davis_palette,
-                        )
+                            self.davis_palette)
                 self.logger.info(
                     f"batch of {B} videos ({[v.name for v in batch_videos]}) done"
                 )
@@ -281,7 +353,10 @@ class Evaluator:
         plans = []
         for scale in scales:
             h = scale
-            w = int(round(scale / base_h * base_w))
+            # truncating int(), not round(): the reference computes
+            # w = int((scale/480)*864) (swem_evaluator.py:42-43), so e.g.
+            # scale 552 -> 993 (not 994); match it exactly
+            w = int(scale * base_w / base_h)
             rkey = ("ms", (h, w), raw_hw, out_size, bucket)
             if rkey not in self._runners:
                 # the uint8 -> /255 -> bicubic preprocess is fused into the
@@ -293,6 +368,7 @@ class Evaluator:
                     preprocess=lambda f, _h=h, _w=w: resize(
                         f.astype(jnp.float32) / 255.0, (_h, _w), "bicubic"
                     ),
+                    mesh=self._obj_mesh(bucket),
                 )
                 runner.warmup(self.variables, raw_hw, 1, bucket,
                               frame_dtype=frames.dtype)
@@ -347,77 +423,81 @@ class Evaluator:
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
 
-        for seq_idx, video in enumerate(self.dataset):
-            T = video.frames.shape[0]
-            Ho, Wo = video.original_size
-            out_dir = os.path.join(self.out_root, video.name)
-            mkdir(out_dir)
-            bucket = self._slot_bucket(video.n_objs)
-            self.logger.info(
-                f"Testing video {seq_idx}: {video.name} ({T} frames, "
-                f"in {video.frames.shape[1:3]}, out {video.original_size}, "
-                f"{video.n_objs} objs -> {bucket} slots)"
-            )
-
-            # one injectable runner per (input size, output size, bucket);
-            # YTVOS frames arrive resized + normalized f32 from the dataset,
-            # so no on-device preprocess is fused
-            key = ("yt", video.frames.shape[1:3], (Ho, Wo), bucket)
-            if key not in self._runners:
-                runner = ChunkedVideoRunner(
-                    self._model_for(bucket), (Ho, Wo),
-                    chunk=self.cfg.eval.chunk, injectable=True,
+        videos = prefetch(self.dataset.__getitem__, range(len(self.dataset)))
+        with AsyncWriter() as writer:
+            for seq_idx, video in enumerate(videos):
+                T = video.frames.shape[0]
+                Ho, Wo = video.original_size
+                out_dir = os.path.join(self.out_root, video.name)
+                mkdir(out_dir)
+                bucket = self._slot_bucket(video.n_objs)
+                self.logger.info(
+                    f"Testing video {seq_idx}: {video.name} ({T} frames, "
+                    f"in {video.frames.shape[1:3]}, out {video.original_size}, "
+                    f"{video.n_objs} objs -> {bucket} slots)"
                 )
-                # compile + chip-load every program outside the FPS span
-                runner.warmup(self.variables, video.frames.shape[1:3], 1,
-                              bucket, frame_dtype=jnp.float32)
-                self._runners[key] = runner
-            runner = self._runners[key]
 
-            # host arrays throughout: the jitted chunk programs upload their
-            # own slices (device-array slicing would compile per offset)
-            frames = video.frames[:, None]
-            init_mask = video.init_mask[None, ..., : bucket + 1]
-            active = np.zeros((1, bucket), bool)
-            # exact frame-0 slot list from meta.json (an annotated object may
-            # have an empty frame-0 mask; counting nonzero channels would
-            # activate the wrong slots)
-            active[:, [s_ for s_ in video.init_slots if s_ < bucket]] = True
+                # one injectable runner per (input size, output size, bucket);
+                # YTVOS frames arrive resized + normalized f32 from the dataset,
+                # so no on-device preprocess is fused
+                key = ("yt", video.frames.shape[1:3], (Ho, Wo), bucket)
+                if key not in self._runners:
+                    runner = ChunkedVideoRunner(
+                        self._model_for(bucket), (Ho, Wo),
+                        chunk=self.cfg.eval.chunk, injectable=True,
+                        mesh=self._obj_mesh(bucket),
+                    )
+                    # compile + chip-load every program outside the FPS span
+                    runner.warmup(self.variables, video.frames.shape[1:3], 1,
+                                  bucket, frame_dtype=jnp.float32)
+                    self._runners[key] = runner
+                runner = self._runners[key]
 
-            injections = {}
-            for t, inj in video.injections.items():
-                idx_map = np.zeros((1, Ho, Wo), np.uint8)
-                new = np.zeros((1, bucket), bool)
-                for slot in inj["new_slots"]:
-                    if slot >= bucket:
-                        continue  # over-budget slot (dataset already warned)
-                    idx_map[0][inj["mask"][..., slot + 1] > 0] = slot + 1
-                    new[:, slot] = True
-                injections[t] = (idx_map, new)
+                # host arrays throughout: the jitted chunk programs upload their
+                # own slices (device-array slicing would compile per offset)
+                frames = video.frames[:, None]
+                init_mask = video.init_mask[None, ..., : bucket + 1]
+                active = np.zeros((1, bucket), bool)
+                # exact frame-0 slot list from meta.json (an annotated object may
+                # have an empty frame-0 mask; counting nonzero channels would
+                # activate the wrong slots)
+                active[:, [s_ for s_ in video.init_slots if s_ < bucket]] = True
 
-            fps.tic()
-            preds = runner(self.variables, rng, frames, init_mask,
-                           jnp.asarray(active), injections=injections)
-            fps.toc(T)
-            all_preds = preds[:, 0]  # (T-1, Ho, Wo) uint8
+                injections = {}
+                for t, inj in video.injections.items():
+                    idx_map = np.zeros((1, Ho, Wo), np.uint8)
+                    new = np.zeros((1, bucket), bool)
+                    for slot in inj["new_slots"]:
+                        if slot >= bucket:
+                            continue  # over-budget slot (dataset already warned)
+                        idx_map[0][inj["mask"][..., slot + 1] > 0] = slot + 1
+                        new[:, slot] = True
+                    injections[t] = (idx_map, new)
 
-            # save frame 0 (original ids)
-            save_seg_mask(
-                video.first_label,
-                os.path.join(out_dir, f"{video.frame_names[0]}.png"),
-                self.ytvos_palette,
-            )
-            slot_map = np.zeros(self.n_slots + 1, np.uint8)
-            for slot, orig in enumerate(video.slot_to_orig):
-                slot_map[slot + 1] = orig
-            for t in range(1, T):
-                if video.frame_names[t] not in video.names_to_save:
-                    continue
-                pred = slot_map[all_preds[t - 1]]
-                save_seg_mask(
-                    pred, os.path.join(out_dir, f"{video.frame_names[t]}.png"),
+                fps.tic()
+                preds = runner(self.variables, rng, frames, init_mask,
+                               jnp.asarray(active), injections=injections)
+                fps.toc(T)
+                all_preds = preds[:, 0]  # (T-1, Ho, Wo) uint8
+
+                # save frame 0 (original ids)
+                writer.submit(
+                    save_seg_mask, video.first_label,
+                    os.path.join(out_dir, f"{video.frame_names[0]}.png"),
                     self.ytvos_palette,
                 )
+                slot_map = np.zeros(self.n_slots + 1, np.uint8)
+                for slot, orig in enumerate(video.slot_to_orig):
+                    slot_map[slot + 1] = orig
+                for t in range(1, T):
+                    if video.frame_names[t] not in video.names_to_save:
+                        continue
+                    pred = slot_map[all_preds[t - 1]]
+                    writer.submit(
+                        save_seg_mask, pred,
+                        os.path.join(out_dir, f"{video.frame_names[t]}.png"),
+                        self.ytvos_palette,
+                    )
         fps.end()
         self.logger.info(f"fps: {fps.fps}")
         return fps.fps

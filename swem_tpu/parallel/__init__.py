@@ -1,9 +1,19 @@
 from swem_tpu.parallel.mesh import (
+    EngineSharding,
     batch_sharding,
     make_mesh,
+    make_mesh2,
     replicate,
     replicated,
     shard_batch,
 )
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "replicated", "shard_batch"]
+__all__ = [
+    "EngineSharding",
+    "batch_sharding",
+    "make_mesh",
+    "make_mesh2",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -29,6 +29,76 @@ def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def make_mesh2(n_data: Optional[int] = None, n_obj: int = 1,
+               devices=None) -> Mesh:
+    """2-D ('data', 'obj') mesh: batch over 'data', object slots over 'obj'.
+
+    The reference has no parallelism beyond DDP (SURVEY.md §2.5); the 'obj'
+    axis is a TPU-native extension exploiting that everything between the
+    EM memory banks and the soft-aggregation — the value-encoder, fusion,
+    and decoder towers, i.e. the measured ~94%-MXU per-object conv FLOPs —
+    is embarrassingly parallel over the padded object axis (see
+    ``EngineSharding``). ``n_obj`` must divide the model's ``max_objs``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        if len(devices) % n_obj:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_obj={n_obj}")
+        n_data = len(devices) // n_obj
+    devices = devices[: n_data * n_obj]
+    if len(devices) < n_data * n_obj:
+        raise ValueError(
+            f"need {n_data * n_obj} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(n_data, n_obj), ("data", "obj"))
+
+
+class EngineSharding:
+    """Sharding-constraint hooks for object-parallel model execution.
+
+    Strategy (GSPMD, not shard_map): constrain the three (B, N, ...)
+    hand-off points of a frame step — the ``VOSMemory`` banks, the value
+    features ``mv16``, and the match ``context`` — to a ('data', 'obj')
+    mesh. XLA then partitions every op between the constraints along the
+    object axis (the value-encoder / fusion / decoder conv towers, whose
+    per-object ResBlocks are the profiled hot spots) and inserts exactly
+    one all-gather per frame where objects genuinely interact: the
+    soft-aggregation product over N (swem.py:110-116) and the
+    "other-objects" mask sum (swem.py:50-57), both tiny next to the tower
+    FLOPs. The EM memorize/read math itself never mixes objects, so the
+    memory carry stays device-resident shard-local across the whole video.
+
+    Works under both jit-of-scan (inference engine) and jit-of-grad
+    (training unroll; ``with_sharding_constraint`` transposes to itself).
+    """
+
+    def __init__(self, mesh: Mesh):
+        if "obj" not in mesh.axis_names:
+            raise ValueError(f"mesh {mesh.axis_names} has no 'obj' axis")
+        data = "data" if "data" in mesh.axis_names else None
+        self.mesh = mesh
+        self.n_obj = mesh.shape["obj"]
+        self._bn = NamedSharding(mesh, P(data, "obj"))
+        self._b = NamedSharding(mesh, P(data))
+        self._rep = NamedSharding(mesh, P())
+
+    def bn(self, x):
+        """Constrain a (B, N, ...) array: batch over 'data', objects over 'obj'."""
+        return jax.lax.with_sharding_constraint(x, self._bn)
+
+    def b(self, x):
+        """Constrain a (B, ...) array over 'data' only."""
+        return jax.lax.with_sharding_constraint(x, self._b)
+
+    def mem(self, mem):
+        """Constrain a VOSMemory pytree: bank leaves (B, N, 2, C, L) shard
+        like (B, N, ...); the scalar mem_count is replicated."""
+        def c(t):
+            sh = self._bn if t.ndim >= 2 else self._rep
+            return jax.lax.with_sharding_constraint(t, sh)
+        return jax.tree.map(c, mem)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

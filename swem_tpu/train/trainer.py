@@ -58,12 +58,23 @@ def create_train_state(model: SWEM, rng: jax.Array, tx, sample_frame, sample_mas
     )
 
 
-def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng):
+def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng,
+                      sharding=None):
     """Frame-0 init + supervised unroll over frames 1..T-1 (swem_trainer.py:59-91).
 
-    Returns stacked logits (B, T-1, H, W, N+1).
+    Returns stacked logits (B, T-1, H, W, N+1). ``sharding``: optional
+    ``parallel.EngineSharding`` — constrains the (B, N, ...) hand-off points
+    so the per-object towers shard over a mesh 'obj' axis (object
+    parallelism composed with data parallelism; the constraint transposes
+    to itself under grad, so the backward towers shard identically).
     """
     cfg = model.cfg
+
+    def bn(x):  # (B, N, ...) constraint (no-op unsharded)
+        return x if sharding is None else sharding.bn(x)
+
+    def cmem(m):
+        return m if sharding is None else sharding.mem(m)
     B, T, H, W, _ = frames.shape
     out_size = (H, W)
     active = valid_obj[:, 1:] > 0.5  # (B, N)
@@ -75,10 +86,11 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
     # via encode_frame/skip_feats/frame_stem).
     qk16, _, s16, _, _, vf0 = model.apply(variables, frames[:, 0],
                                           method="encode_frame")
-    mv16 = model.apply(variables, frames[:, 0], init_mask, s16, vf0,
-                       method="encode_value")
+    mv16 = bn(model.apply(variables, frames[:, 0], init_mask, s16, vf0,
+                          method="encode_value"))
     h, w = qk16.shape[1:3]
-    mem = em.fresh_memory(rng, B, cfg.max_objs, cfg.keydim, cfg.valdim, cfg.num_bases)
+    mem = cmem(em.fresh_memory(rng, B, cfg.max_objs, cfg.keydim, cfg.valdim,
+                               cfg.num_bases))
     em_masks = prepare_em_masks(init_mask, at_least_f32(init_mask), (h, w))
     mem = em.memorize(
         mem,
@@ -90,6 +102,7 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
             P=h * w, train=True,
         ),
     )
+    mem = cmem(mem)
 
     logits_list = []
     for i in range(1, T):
@@ -98,10 +111,10 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
         )
         # train=True enables p_drop memory dropout (modules.py:258-263) when
         # configured; the 'memdrop' stream is unused (and free) at p_drop=0.
-        context = model.apply(
+        context = bn(model.apply(
             variables, qk16, qv16, mem, True, method="match",
             rngs={"memdrop": jax.random.fold_in(rng, i)},
-        )
+        ))
         logits, pred_mask = model.apply(
             variables, context, skip8, skip4, valid_obj[:, 1:], out_size,
             method="decode"
@@ -109,8 +122,8 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
         logits_list.append(logits)
         if i < T - 1:
             hard = hard_mask_from_pred(pred_mask)
-            mv16 = model.apply(variables, frames[:, i], pred_mask, s16, vf,
-                               method="encode_value")
+            mv16 = bn(model.apply(variables, frames[:, i], pred_mask, s16, vf,
+                                  method="encode_value"))
             em_masks = prepare_em_masks(hard, pred_mask, (h, w))
             mem = em.memorize(
                 mem,
@@ -122,11 +135,17 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng)
                     n_objs=cfg.max_objs, P=h * w, train=True,
                 ),
             )
+            mem = cmem(mem)
     return jnp.stack(logits_list, axis=1)
 
 
-def make_train_step(model: SWEM, cfg: SWEMConfig, tx) -> Callable:
-    """Build the jittable train step: (state, batch, rng) -> (state, metrics)."""
+def make_train_step(model: SWEM, cfg: SWEMConfig, tx, sharding=None) -> Callable:
+    """Build the jittable train step: (state, batch, rng) -> (state, metrics).
+
+    ``sharding``: optional ``parallel.EngineSharding`` to shard the unroll's
+    per-object towers over a mesh 'obj' axis (composes with 'data' batch
+    sharding; see _unrolled_forward).
+    """
     criterion = make_criterion(cfg.loss)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
@@ -137,7 +156,7 @@ def make_train_step(model: SWEM, cfg: SWEMConfig, tx) -> Callable:
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits = _unrolled_forward(
                 model, variables, batch["frames"], batch["masks"][:, 0],
-                batch["valid_obj"], mem_rng,
+                batch["valid_obj"], mem_rng, sharding=sharding,
             )
             losses = criterion(
                 logits, batch["label"][:, 1:], state.step, batch["valid_obj"]

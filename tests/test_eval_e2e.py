@@ -165,6 +165,41 @@ class TestEvaluatorE2E:
                 agree += (a == b).sum()
         assert agree / total > 0.999, agree / total
 
+    def test_obj_parallel_matches_sequential(self, fake_davis, tmp_path_factory):
+        """obj_parallel=2 (each video's object slots sharded over 2 virtual
+        devices) produces the sequential evaluator's PNGs (up to f32
+        partitioning argmax ties; require > 99.9% pixels)."""
+        from swem_tpu.eval.evaluator import Evaluator
+        from swem_tpu.models.swem import SWEM
+
+        model_cfg = ModelConfig(
+            backbone="resnet18", keydim=8, valdim=16, num_bases=4,
+            num_em_iters=2, topl=2, max_objs=4, mdim=16,
+        )
+        model = SWEM(model_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), jnp.zeros((1, H, W, 5)),
+        )
+        outs = {}
+        for op in (1, 2):
+            cfg = SWEMConfig(
+                model=model_cfg,
+                eval=EvalConfig(eval_set="DAVIS17", data_root=fake_davis, max_objs=4,
+                                davis_in_size=(64, 96), chunk=2, obj_parallel=op),
+                log_dir=str(tmp_path_factory.mktemp(f"logs_op{op}")),
+            )
+            ev = Evaluator(cfg, variables)
+            ev.evaluate_davis()
+            outs[op] = ev.out_root
+        total = agree = 0
+        for name in ("vid0", "vid1"):
+            for f in sorted(os.listdir(os.path.join(outs[1], name))):
+                a = np.array(Image.open(os.path.join(outs[1], name, f)))
+                b = np.array(Image.open(os.path.join(outs[2], name, f)))
+                total += a.size
+                agree += (a == b).sum()
+        assert agree / total > 0.999, agree / total
+
     def test_ytvos_eval_pipeline(self, tmp_path_factory):
         import json
 

@@ -372,6 +372,93 @@ class TestComposedFullModel:
             ).mean()
             assert idx_mismatch < 5e-3, f"scan argmax mismatch {idx_mismatch}"
 
+    def test_multi_scale_flip_composition(self, rng, monkeypatch):
+        """evaluate_davis_seq_ms (swem_evaluator.py:34-57): 2 scales x flip
+        = 4 whole-video passes, per-scale bicubic input resize, flipped
+        scores un-flipped and averaged, final argmax. The reference loop
+        runs in f64 against our composition exactly as _run_multi_scale
+        computes it (sum of per-pass scores — argmax-equivalent to the
+        reference's mean; compared here after rescaling). Frame-1 scores
+        must match tightly (identical init memory), frame 2 within the
+        one-EM-round amplification band, argmax near-exactly."""
+        from swem_tpu.ops.resize import resize as our_resize
+
+        ref_model, sd = _build_ref_full_swem(rng)
+        n_objs = 2
+        kappa_n = _fixed_kappa(rng, n_objs)
+        init_state = _patch_ref_random_init(ref_model.swem_core, kappa_n)
+        T = 3
+        frames, mask = _make_inputs(rng, T=T, n_objs=n_objs, n_slots=n_objs)
+        ft, mt = _to_torch_video(frames, mask)
+
+        base_h, base_w = IN_HW
+        scales = (base_h, base_h // 2)  # (64, 96) and (32, 48) — exact w
+        n_passes = 0
+        ref_final = None
+        with torch.no_grad():
+            for scale in scales:
+                h = scale
+                w = int(scale * base_w / base_h)  # swem_evaluator.py:42-43
+                fin = F.interpolate(
+                    ft[0], size=(h, w), mode="bicubic", align_corners=False
+                ).unsqueeze(0)
+                init_state["off"] = 0
+                masks_s, _ = _ref_run_video(ref_model, fin, mt, OUT_HW)
+                init_state["off"] = 0
+                masks_f, _ = _ref_run_video(
+                    ref_model, torch.flip(fin, dims=[-1]),
+                    torch.flip(mt, dims=[-1]), OUT_HW)
+                # (score + flip(score_flip)) / 2, then / len(scales)
+                per_scale = [
+                    (s + torch.flip(f, dims=[-1])) / 2
+                    for s, f in zip(masks_s, masks_f)
+                ]
+                n_passes += 2
+                scaled = [p / len(scales) for p in per_scale]
+                ref_final = (scaled if ref_final is None else
+                             [a + b for a, b in zip(ref_final, scaled)])
+        ref_final = [np.moveaxis(p.numpy(), 1, -1) for p in ref_final]
+        ref_idx = [p.argmax(-1) for p in ref_final]
+
+        with jax.enable_x64(True):
+            _patch_our_fresh_memory(monkeypatch, kappa_n)
+            variables = _convert_f64(sd)
+            model = SWEM(_our_cfg(n_objs))
+            active = jnp.ones((1, n_objs), bool)
+            fj = jnp.asarray(frames)
+            mj = jnp.asarray(mask)
+
+            total = None
+            for scale in scales:
+                h = scale
+                w = int(scale * base_w / base_h)
+                for flip in (False, True):
+                    # _run_multi_scale semantics: flip the RAW inputs, run,
+                    # un-flip the scores (evaluator.py flip branch)
+                    f_in = jnp.flip(fj, axis=-2) if flip else fj
+                    m_in = jnp.flip(mj, axis=-2) if flip else mj
+                    f_in = our_resize(f_in, (h, w), "bicubic")
+                    scores = engine.run_video_scores(
+                        model, variables, jax.random.PRNGKey(0), f_in, m_in,
+                        active, OUT_HW)
+                    if flip:
+                        scores = jnp.flip(scores, axis=-2)
+                    total = scores if total is None else total + scores
+            ours = np.asarray(total) / n_passes  # rescale sum -> ref mean
+
+        np.testing.assert_allclose(
+            ours[0], ref_final[0], rtol=1e-6, atol=1e-8,
+            err_msg="ms+flip frame 1 averaged scores",
+        )
+        np.testing.assert_allclose(
+            ours[1], ref_final[1], atol=1e-4,
+            err_msg="ms+flip frame 2 averaged scores",
+        )
+        idx_mismatch = (
+            ours.argmax(-1) != np.stack(ref_idx, axis=0)[:, ...]
+        ).mean()
+        assert idx_mismatch < 5e-3, f"ms+flip argmax mismatch {idx_mismatch}"
+
     def test_ytvos_injection_loop(self, rng, monkeypatch):
         """4-frame loop with a new object injected at frame 2: the padded
         static slot reproduces the reference's dynamic concat. The padded
