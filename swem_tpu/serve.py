@@ -16,7 +16,10 @@ wraps the functional engine into a stateful session with that contract:
 TPU-native details: all programs are AOT-compiled at session creation
 (``warmup``) so the first frame pays no compile; the memory pytree is
 donated between steps (no HBM churn); frames upload as uint8 and are
-normalized on device; predictions return as uint8 index maps.
+normalized on device; predictions return as uint8 index maps. Passing a
+mesh with an 'obj' axis (``parallel.make_mesh2``) splits the per-object
+conv towers across chips for lower per-frame latency — the one
+parallelism a single stream can use (batch=1 has no data axis).
 """
 
 from __future__ import annotations
@@ -46,7 +49,7 @@ class StreamingSession:
     def __init__(self, model_cfg: ModelConfig, variables, *,
                  raw_hw: Tuple[int, int], in_size: Tuple[int, int],
                  out_size: Tuple[int, int], n_slots: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         import dataclasses
 
         n_slots = n_slots or model_cfg.max_objs
@@ -55,6 +58,26 @@ class StreamingSession:
         self.cfg = model_cfg
         self.model = SWEM(model_cfg)
         self.variables = variables
+        esh = None
+        if mesh is not None:
+            # object parallelism for the latency path: a mesh with an 'obj'
+            # axis splits the per-object conv towers across chips (see
+            # parallel.EngineSharding) — the per-frame latency win a single
+            # stream can actually use (batch=1 has no 'data' axis to shard)
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            from swem_tpu.parallel import EngineSharding
+
+            esh = EngineSharding(mesh)
+            if model_cfg.max_objs % esh.n_obj:
+                raise ValueError(
+                    f"max_objs={model_cfg.max_objs} not divisible by the "
+                    f"mesh 'obj' axis ({esh.n_obj})")
+            # checkpoint-restored variables arrive committed to one device;
+            # replicate them over the mesh or jit rejects the mixed placement
+            self.variables = jax.device_put(
+                variables, NamedSharding(mesh, Pspec()))
+        self.mesh = mesh
         self.raw_hw = tuple(raw_hw)
         self.in_size = tuple(in_size)
         self.out_size = tuple(out_size)
@@ -71,18 +94,20 @@ class StreamingSession:
             return f
 
         self._init = jax.jit(
-            lambda v, r, f, m, a: init_memory(self.model, v, r, pre(f), m, a)
+            lambda v, r, f, m, a: init_memory(self.model, v, r, pre(f), m, a,
+                                              sharding=esh)
         )
         self._step = jax.jit(
             lambda v, mem, f, a: step(
-                self.model, v, mem, pre(f), a, self.out_size, do_memorize=True
+                self.model, v, mem, pre(f), a, self.out_size,
+                do_memorize=True, sharding=esh,
             )[:2],
             donate_argnums=(1,),
         )
         self._inject = jax.jit(
             lambda v, mem, f, a, im, inew: step(
                 self.model, v, mem, pre(f), a, self.out_size, do_memorize=True,
-                inject_mask=im, inject_new=inew,
+                inject_mask=im, inject_new=inew, sharding=esh,
             )[:2],
             donate_argnums=(1,),
         )

@@ -91,3 +91,38 @@ def test_stream_resize_path(tiny):
     sess.start(raw[0], labels)
     pred = sess.push(raw[1])
     assert pred.shape == (H, W)
+
+
+def test_stream_obj_parallel_matches_local(tiny):
+    """A mesh with an 'obj' axis splits the session's per-object towers
+    over devices (the single-stream latency win — batch=1 has no data
+    axis); predictions must match the unsharded session, including through
+    a mid-stream injection, and with COMMITTED variables (the checkpoint-
+    restore placement)."""
+    from swem_tpu.parallel import make_mesh2
+
+    cfg, variables = tiny
+    rng = np.random.default_rng(7)
+    T, H, W = 5, 64, 96
+    frames_u8 = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    labels[40:60, 60:90] = 2
+    inj = np.zeros((H, W), np.uint8)
+    inj[5:20, 5:20] = 3
+
+    def run(mesh, v):
+        sess = StreamingSession(cfg, v, raw_hw=(H, W), in_size=(H, W),
+                                out_size=(H, W), seed=0, mesh=mesh)
+        sess.start(frames_u8[0], labels)
+        preds = [sess.push(frames_u8[1]),
+                 sess.add_objects(frames_u8[2], inj, [3]),
+                 sess.push(frames_u8[3]), sess.push(frames_u8[4])]
+        return np.stack(preds)
+
+    want = run(None, variables)
+    committed = jax.device_put(variables, jax.devices()[0])
+    got = run(make_mesh2(n_data=1, n_obj=4), committed)
+    assert got.shape == want.shape
+    # per-device partitioning can flip f32 argmax ties on a few pixels
+    assert (got != want).mean() < 1e-3
