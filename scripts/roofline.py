@@ -1,0 +1,210 @@
+"""Roofline / utilization analysis for the flagship inference scan.
+
+Answers "how close to speed-of-light is the headline number?" with the
+compiler's own accounting instead of hand-waving: XLA's cost analysis of
+the EXACT compiled whole-video program (same construction as bench.py)
+gives total FLOPs and HBM bytes; dividing by the measured wall-clock
+yields achieved TFLOP/s and GB/s against the chip's peaks.
+
+The reference has no analogue (it publishes no perf numbers at all —
+SURVEY.md §6); this is the TPU-native perf discipline the task demands:
+know the roofline, know where the program sits on it.
+
+Usage (real TPU):
+    python scripts/roofline.py                 # measure + analyze scan
+    python scripts/roofline.py --train         # also analyze the train step
+    python scripts/roofline.py --fps 120.6     # skip measuring, use a number
+
+Peaks default to the detected device kind (v5e: 197 bf16 TFLOP/s,
+819 GB/s HBM) and can be overridden with --peak_tflops / --peak_gbs.
+
+Round-3 reading on the v5e dev chip (2026-08-18):
+
+    inference_scan_T30: 154.2 GFLOP/frame, AI 150 flops/byte (ridge 240),
+        15.8 TFLOP/s = 8.0% MXU, 105 GB/s = 12.9% HBM -> latency-bound:
+        the two 61-GFLOP decoder convs hit ~94% MXU (per-op trace) but
+        the ~70 small B=1 ops around them cannot fill the 128x128 array.
+    train_step_bs8_384: 10.4 TFLOP/step, AI 118 -> memory-bound;
+        57.4 TFLOP/s = 29% MXU, 488 GB/s = 60% HBM (60% of its roofline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# (bf16 matmul TFLOP/s, HBM GB/s) by device_kind substring
+PEAKS = {
+    "v5 lite": (197.0, 819.0),
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v4": (275.0, 1228.0),
+    "v6 lite": (918.0, 1640.0),
+    "v6e": (918.0, 1640.0),
+}
+
+
+def detect_peaks(args):
+    if args.peak_tflops and args.peak_gbs:
+        return args.peak_tflops, args.peak_gbs, "user-specified"
+    kind = jax.devices()[0].device_kind.lower()
+    for key, (tf, bw) in PEAKS.items():
+        if key in kind:
+            return (args.peak_tflops or tf, args.peak_gbs or bw,
+                    f"device_kind={kind!r}")
+    return args.peak_tflops, args.peak_gbs, f"unknown device_kind={kind!r}"
+
+
+def cost_of(jitted, *args):
+    """Total (flops, bytes accessed) of the compiled program."""
+    compiled = jitted.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def build_scan(model, variables, cfg, Ho, Wo, T=30):
+    """The bench.py whole-video scan program and its inputs."""
+    from swem_tpu.engine import run_video
+
+    B, H, W = 1, 480, 864
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((T, B, H, W, 3)).astype(np.float32))
+    init_mask = np.zeros((B, Ho, Wo, cfg.max_objs + 1), np.float32)
+    init_mask[..., 0] = 1.0
+    init_mask[:, 100:220, 150:330, 1] = 1.0
+    init_mask[:, 100:220, 150:330, 0] = 0.0
+    init_mask[:, 260:400, 500:700, 2] = 1.0
+    init_mask[:, 260:400, 500:700, 0] = 0.0
+    init_mask = jnp.asarray(init_mask)
+    active = jnp.ones((B, cfg.max_objs), bool)
+
+    @jax.jit
+    def run(variables, rng, frames, init_mask, active):
+        preds = run_video(model, variables, rng, frames, init_mask, active,
+                          (Ho, Wo))
+        return jnp.sum(preds.astype(jnp.int32))
+
+    return run, (variables, jax.random.PRNGKey(1), frames, init_mask, active)
+
+
+def measure_fps(run, args, T):
+    chk = run(*args)
+    _ = int(np.asarray(chk))  # compile + warmup sync
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = int(np.asarray(run(*args)))
+        runs.append(T / (time.perf_counter() - t0))
+    return float(np.median(runs))
+
+
+def report(name, flops, bytes_, seconds, peak_tf, peak_bw):
+    tflops = flops / seconds / 1e12
+    gbs = bytes_ / seconds / 1e9
+    ai = flops / max(bytes_, 1.0)
+    out = {
+        "program": name,
+        "total_gflops": round(flops / 1e9, 1),
+        "total_gbytes": round(bytes_ / 1e9, 2),
+        "arithmetic_intensity_flops_per_byte": round(ai, 1),
+        "achieved_tflops_per_s": round(tflops, 2),
+        "achieved_hbm_gb_per_s": round(gbs, 1),
+    }
+    if peak_tf and peak_bw:
+        ridge = peak_tf * 1e12 / (peak_bw * 1e9)  # flops/byte
+        out["mxu_utilization_pct"] = round(100 * tflops / peak_tf, 1)
+        out["hbm_utilization_pct"] = round(100 * gbs / peak_bw, 1)
+        out["ridge_point_flops_per_byte"] = round(ridge, 1)
+        out["bound"] = "compute" if ai >= ridge else "memory"
+        # speed-of-light: the time the roofline itself permits
+        sol = max(flops / (peak_tf * 1e12), bytes_ / (peak_bw * 1e9))
+        out["roofline_limit_pct_of_sol"] = round(100 * sol / seconds, 1)
+    print(json.dumps(out))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--fps", type=float, default=None,
+                   help="use this scan FPS instead of measuring")
+    p.add_argument("--train", action="store_true",
+                   help="also analyze the flagship train step")
+    p.add_argument("--train_ms", type=float, default=None,
+                   help="use this train ms/step instead of measuring")
+    p.add_argument("--peak_tflops", type=float, default=None)
+    p.add_argument("--peak_gbs", type=float, default=None)
+    p.add_argument("--frames", type=int, default=30)
+    args = p.parse_args()
+
+    from swem_tpu.config import ModelConfig
+    from swem_tpu.models.swem import SWEM
+
+    peak_tf, peak_bw, src = detect_peaks(args)
+    print(json.dumps({"peaks": {"bf16_tflops": peak_tf, "hbm_gbs": peak_bw,
+                                "source": src}}))
+
+    cfg = ModelConfig(dtype="bfloat16")
+    model = SWEM(cfg)
+    Ho, Wo = 480, 854
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray(rng.random((1, 480, 864, 3)).astype(np.float32))
+    m0 = np.zeros((1, Ho, Wo, cfg.max_objs + 1), np.float32)
+    m0[..., 0] = 1.0
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), f0, jnp.asarray(m0))
+
+    T = args.frames
+    run, inputs = build_scan(model, variables, cfg, Ho, Wo, T=T)
+    flops, bytes_ = cost_of(run, *inputs)
+    fps = args.fps or measure_fps(run, inputs, T)
+    print(json.dumps({"scan_fps": round(fps, 2),
+                      "gflops_per_frame": round(flops / T / 1e9, 1)}))
+    report("inference_scan_T%d" % T, flops, bytes_, T / fps, peak_tf, peak_bw)
+
+    if args.train or args.train_ms:
+        from swem_tpu.config import SWEMConfig, SolverConfig, LossConfig
+        from swem_tpu.train import (create_train_state, make_optimizer,
+                                    make_train_step)
+
+        tcfg = SWEMConfig(model=cfg, solver=SolverConfig(stage=3),
+                          loss=LossConfig())
+        tx, _ = make_optimizer(tcfg.solver)
+        B, S = 8, 384
+        rngn = np.random.default_rng(1)
+        batch = {
+            "frames": jnp.asarray(rngn.random((B, 3, S, S, 3)), jnp.float32),
+            "masks": jnp.asarray(
+                (rngn.random((B, 3, S, S, cfg.max_objs + 1)) > 0.7),
+                jnp.float32),
+            "label": jnp.asarray(
+                rngn.integers(0, 3, (B, 3, S, S)), jnp.int32),
+            "valid_obj": jnp.ones((B, cfg.max_objs + 1), jnp.float32),
+        }
+        state = create_train_state(model, jax.random.PRNGKey(0), tx,
+                                   batch["frames"][:, 0], batch["masks"][:, 0])
+        step_fn = jax.jit(make_train_step(model, tcfg, tx))
+        tf_, tb_ = cost_of(step_fn, state, batch, jax.random.PRNGKey(1))
+        if args.train_ms:
+            sec = args.train_ms / 1e3
+        else:
+            new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+            _ = float(np.asarray(metrics["total_loss"]))
+            t0 = time.perf_counter()
+            for i in range(3):
+                new_state, metrics = step_fn(new_state, batch,
+                                             jax.random.PRNGKey(2 + i))
+                _ = float(np.asarray(metrics["total_loss"]))
+            sec = (time.perf_counter() - t0) / 3
+        print(json.dumps({"train_ms_per_step": round(sec * 1e3, 1)}))
+        report("train_step_bs8_384", tf_, tb_, sec, peak_tf, peak_bw)
+
+
+if __name__ == "__main__":
+    main()
