@@ -32,6 +32,7 @@ from swem_tpu.parallel import make_mesh, replicate, shard_batch
 from swem_tpu.train.solver import make_optimizer, max_iter_for_stage
 from swem_tpu.train.trainer import TrainState, create_train_state, make_train_step
 from swem_tpu.utils import AvgMeter, mkdir, setup_logger
+from swem_tpu.utils.host_io import AsyncWriter
 
 
 class Trainer:
@@ -58,6 +59,9 @@ class Trainer:
         self.train_step = jax.jit(make_train_step(self.model, cfg, self.tx),
                                   donate_argnums=(0,))
         self._predict = None  # lazily jitted visualization forward
+        # one writer thread: checkpoint disk writes overlap training and
+        # stay ordered; max_pending=1 bounds host RAM to one extra snapshot
+        self._saver = AsyncWriter(workers=1, max_pending=1)
 
         # init / resume
         crop = cfg.data.vid_crop_size
@@ -126,12 +130,27 @@ class Trainer:
         self.logger.info(f"Loaded model weights from {resume_path}")
 
     def save(self, step: int):
+        """Checkpoint asynchronously: fetch now, write in the background.
+
+        The device->host fetch must stay synchronous — the next train step
+        DONATES the current state's device buffers (donate_argnums), so a
+        background fetch would race the donation. The disk write (orbax
+        serialize + fsync, the slow half for multi-GB states) has no such
+        hazard: it runs on a single writer thread, serialized in order, so
+        training continues during the write (the reference blocks on
+        torch.save, basic_trainer.py:283-293). ``variables`` reuses the
+        fetched state instead of a second params fetch.
+        """
         if jax.process_index() != 0:
             return
-        save_checkpoint(os.path.join(self.ckpt_dir, "state"), jax.device_get(self.state))
+        host_state = jax.device_get(self.state)
+        self._saver.submit(self._write_checkpoint, host_state, step)
+
+    def _write_checkpoint(self, host_state, step: int) -> None:
+        save_checkpoint(os.path.join(self.ckpt_dir, "state"), host_state)
         save_checkpoint(
             os.path.join(self.ckpt_dir, "variables"),
-            jax.device_get({"params": self.state.params, "batch_stats": self.state.batch_stats}),
+            {"params": host_state.params, "batch_stats": host_state.batch_stats},
         )
         self.logger.info(f"Saved checkpoint at iteration {step}")
 
@@ -207,6 +226,9 @@ class Trainer:
                     self.save(it)
         finally:
             loader.close()
+            # the last checkpoint write must land (and re-raise any disk
+            # failure) before callers read the checkpoint back
+            self._saver.flush()
         self.logger.info("Training done.")
         return self.state
 
