@@ -21,9 +21,12 @@ Peaks default to the detected device kind (v5e: 197 bf16 TFLOP/s,
 Round-3 reading on the v5e dev chip (2026-08-18):
 
     inference_scan_T30: 154.2 GFLOP/frame, AI 150 flops/byte (ridge 240),
-        15.8 TFLOP/s = 8.0% MXU, 105 GB/s = 12.9% HBM -> latency-bound:
-        the two 61-GFLOP decoder convs hit ~94% MXU (per-op trace) but
-        the ~70 small B=1 ops around them cannot fill the 128x128 array.
+        15.8 TFLOP/s = 8.0% MXU, 105 GB/s = 12.9% HBM. The two 61-GFLOP
+        decoder convs hit ~94% MXU (per-op trace); the ~70 small B=1 ops
+        around them cannot fill the 128x128 array. Batched-scan scaling
+        (B=2 -> 1.10x, B=4 -> 1.19x aggregate frames/s) shows those ops
+        are at their shape-determined throughput, not dispatch-latency-
+        bound — batching does not recover the gap.
     train_step_bs8_384: 10.4 TFLOP/step, AI 118 -> memory-bound;
         57.4 TFLOP/s = 29% MXU, 488 GB/s = 60% HBM (60% of its roofline).
 """
