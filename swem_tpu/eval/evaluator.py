@@ -122,16 +122,16 @@ class Evaluator:
         from swem_tpu.parallel import make_mesh2
 
         ndev = _jax.device_count()
-        k = min(k, n_slots, max(1, ndev // n_data))
+        # round down to a power of two (slot buckets are powers of two, so
+        # any power-of-two k <= n_slots shards them evenly), then clamp
+        lim = min(k, n_slots, max(1, ndev // n_data))
+        k = 1
+        while k * 2 <= lim:
+            k *= 2
+        while k > 1 and n_slots % k:
+            k //= 2
         if k <= 1:
             return None
-        if n_slots % k:
-            # slot buckets are powers of two; a non-dividing k would need
-            # uneven shards — halve until it divides
-            while n_slots % k:
-                k //= 2
-            if k <= 1:
-                return None
         return make_mesh2(n_data=n_data, n_obj=k)
 
     def _runner(self, out_size, batch: int = 1, n_slots: int = None,
@@ -237,17 +237,13 @@ class Evaluator:
         # the strictly single-GPU-sequential reference has no analogue for)
         mesh = None
         ndev = jax.device_count()
-        n_obj = 1
-        if self.cfg.eval.obj_parallel > 1:
-            # 2-D: videos over 'data', each video's slots over 'obj'
-            n_obj = min(self.cfg.eval.obj_parallel, ndev)
-            while ndev % n_obj:
-                n_obj //= 2
-        n_data = ndev // n_obj
-        # a video batch that doesn't divide the data extent shards over
-        # fewer chips (some idle) rather than not at all
-        while n_data > 1 and vb % n_data:
-            n_data //= 2
+        # 2-D: videos over 'data', each video's slots over 'obj'; a video
+        # batch that doesn't divide the device count shards over fewer
+        # chips (some idle) rather than not at all
+        from swem_tpu.parallel import derive_eval_mesh_extents
+
+        n_data, n_obj = derive_eval_mesh_extents(
+            ndev, self.cfg.eval.obj_parallel, vb)
         if n_data * n_obj > 1:
             if n_obj > 1:
                 # slot buckets vary per group; the mesh obj-extent is fixed,

@@ -1,6 +1,7 @@
 from swem_tpu.parallel.mesh import (
     EngineSharding,
     batch_sharding,
+    derive_eval_mesh_extents,
     make_mesh,
     make_mesh2,
     replicate,
@@ -11,6 +12,7 @@ from swem_tpu.parallel.mesh import (
 __all__ = [
     "EngineSharding",
     "batch_sharding",
+    "derive_eval_mesh_extents",
     "make_mesh",
     "make_mesh2",
     "replicate",

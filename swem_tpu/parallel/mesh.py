@@ -29,6 +29,27 @@ def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def derive_eval_mesh_extents(ndev: int, obj_parallel: int, vb: int
+                             ) -> tuple:
+    """(n_data, n_obj) extents for batched-eval sharding.
+
+    'obj' takes the largest power-of-two ≤ the requested ``obj_parallel``
+    that divides the device count; 'data' then takes the largest extent
+    ≤ the remaining devices that divides the video batch ``vb`` (sharding
+    over fewer chips — some idle — beats not sharding at all when the
+    batch doesn't split evenly). (1, 1) means run unsharded.
+    """
+    n_obj = 1
+    if obj_parallel > 1 and ndev > 1:
+        while n_obj * 2 <= min(obj_parallel, ndev):  # round down to 2^k
+            n_obj *= 2
+        while ndev % n_obj:
+            n_obj //= 2
+    limit = ndev // n_obj
+    n_data = max(d for d in range(1, limit + 1) if vb % d == 0)
+    return n_data, n_obj
+
+
 def make_mesh2(n_data: Optional[int] = None, n_obj: int = 1,
                devices=None) -> Mesh:
     """2-D ('data', 'obj') mesh: batch over 'data', object slots over 'obj'.

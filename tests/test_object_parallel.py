@@ -191,3 +191,23 @@ class TestObjectParallelTraining:
         ])
         assert diffs.max() < 3 * lr
         assert np.quantile(diffs, 0.99) < 1e-5
+
+
+class TestMeshExtentDerivation:
+    def test_derive_eval_mesh_extents(self):
+        from swem_tpu.parallel import derive_eval_mesh_extents as d
+
+        # pure data parallel: largest extent that divides the batch
+        assert d(8, 1, 8) == (8, 1)
+        assert d(8, 1, 4) == (4, 1)   # half the chips beat none
+        assert d(8, 1, 6) == (6, 1)   # non-power-of-two divisor found
+        assert d(8, 1, 3) == (3, 1)
+        assert d(1, 1, 4) == (1, 1)   # single device: unsharded
+        # 2-D: obj takes its share first, data gets the rest
+        assert d(8, 2, 8) == (4, 2)
+        assert d(8, 2, 2) == (2, 2)
+        assert d(8, 4, 1) == (1, 4)   # pure object parallel
+        assert d(8, 3, 8) == (4, 2)   # 3 doesn't divide 8 -> halve to 2
+        assert d(6, 2, 3) == (3, 2)
+        # oversubscribed obj request clamps to the device count
+        assert d(4, 16, 1) == (1, 4)
