@@ -45,6 +45,15 @@ def get_args():
                    help="shard each video's object slots over this many "
                         "chips (multi-chip latency for many-object videos; "
                         "composes with --video_batch)")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize(); each process "
+                        "evaluates a disjoint slice of the video list "
+                        "(shared filesystem), process 0 computes metrics")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port rendezvous for --distributed (omit on "
+                        "autodetected clusters: TPU pods, SLURM, OMPI)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--scales", type=int, nargs="+", default=[480],
                    help="multi-scale inference (score averaging)")
@@ -88,6 +97,12 @@ def load_variables(cfg, resume: str):
 
 def main():
     args = get_args()
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
     cfg = build_config(args)
     variables = load_variables(cfg, args.resume)
 

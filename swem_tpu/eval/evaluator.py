@@ -57,7 +57,14 @@ class Evaluator:
         mkdir(self.save_dir)
         self.out_root = os.path.join(self.save_dir, "output")
         mkdir(self.out_root)
-        self.logger = logger or setup_logger("swem_eval", self.save_dir, "test_stage")
+        # multi-host: each process evaluates a disjoint round-robin slice of
+        # the video list (videos are independent, PNG dirs disjoint); val()
+        # barriers before metrics. The reference is strictly single-GPU at
+        # eval time (basic_evaluator.py) — this is the pod-scale extension.
+        self._pid = jax.process_index()
+        self._nproc = jax.process_count()
+        log_name = "test_stage" if self._nproc == 1 else f"test_stage_p{self._pid}"
+        self.logger = logger or setup_logger("swem_eval", self.save_dir, log_name)
         self.davis_palette = davis_palette()
         self.ytvos_palette = ytvos_palette()
         self._runners: Dict[Tuple[int, int], ChunkedVideoRunner] = {}
@@ -169,10 +176,12 @@ class Evaluator:
         )
         # video N+1 decodes on a background thread while N computes, and
         # video N's PNGs encode while N+1 computes (the reference gets the
-        # decode half from DataLoader num_workers=4, basic_evaluator.py:62)
-        videos = prefetch(self.dataset.__getitem__, range(len(self.dataset)))
+        # decode half from DataLoader num_workers=4, basic_evaluator.py:62);
+        # multi-host: this process's round-robin video slice
+        my_indices = list(range(len(self.dataset)))[self._pid :: self._nproc]
+        videos = prefetch(self.dataset.__getitem__, my_indices)
         with AsyncWriter() as writer:
-            for seq_idx, video in enumerate(videos):
+            for seq_idx, video in zip(my_indices, videos):
                 T, Ho, Wo, _ = video.frames.shape
                 out_dir = os.path.join(self.out_root, video.name)
                 mkdir(out_dir)
@@ -267,13 +276,15 @@ class Evaluator:
             groups.setdefault((out_size, bucket), []).append((idx, n_frames))
 
         # flat batch plan so the decode-ahead thread crosses group
-        # boundaries: batch P+1 decodes while batch P computes
+        # boundaries: batch P+1 decodes while batch P computes; multi-host
+        # takes a round-robin slice of whole batches (grouping preserved)
         plan = []
         for (out_size, bucket), items in groups.items():
             items.sort(key=lambda t: t[1])
             indices = [t[0] for t in items]
             plan += [((out_size, bucket), indices[i : i + vb])
                      for i in range(0, len(indices), vb)]
+        plan = plan[self._pid :: self._nproc]
         decoded = prefetch(
             lambda p: (p[0], [self.dataset[j] for j in p[1]]), plan, depth=1)
 
@@ -419,9 +430,10 @@ class Evaluator:
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
 
-        videos = prefetch(self.dataset.__getitem__, range(len(self.dataset)))
+        my_indices = list(range(len(self.dataset)))[self._pid :: self._nproc]
+        videos = prefetch(self.dataset.__getitem__, my_indices)
         with AsyncWriter() as writer:
-            for seq_idx, video in enumerate(videos):
+            for seq_idx, video in zip(my_indices, videos):
                 T = video.frames.shape[0]
                 Ho, Wo = video.original_size
                 out_dir = os.path.join(self.out_root, video.name)
@@ -510,11 +522,24 @@ class Evaluator:
         return write_reports(metrics, self.save_dir, self.eval_set, self.logger)
 
     def val(self) -> Optional[Dict[str, float]]:
-        """Full evaluation flow (swem_evaluator.py:150-160)."""
+        """Full evaluation flow (swem_evaluator.py:150-160).
+
+        Multi-host: every process evaluates its video slice, all barrier,
+        then process 0 alone computes metrics over the combined PNGs
+        (shared filesystem assumed, as for checkpoints).
+        """
         if "DAVIS" in self.eval_set:
             self.evaluate_davis()
-            if self.eval_set != "DAVIS17Test":
+            self._barrier("davis_pngs")
+            if self.eval_set != "DAVIS17Test" and self._pid == 0:
                 return self.get_metrics()
             return None
         self.evaluate_ytvos()
+        self._barrier("ytvos_pngs")
         return None
+
+    def _barrier(self, tag: str) -> None:
+        if self._nproc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"swem_eval_{tag}")

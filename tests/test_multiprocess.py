@@ -63,3 +63,73 @@ def test_two_process_dp_matches_single_process():
     # both processes observe the same global loss, equal to the unsharded run
     np.testing.assert_allclose(dual[0]["loss"], dual[1]["loss"], rtol=1e-6)
     np.testing.assert_allclose(dual[0]["loss"], single["loss"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_eval_matches_single_process(tmp_path_factory):
+    """Distributed evaluation (the pod-scale mode the single-GPU reference
+    lacks): 2 jax.distributed processes each evaluate a disjoint round-robin
+    video slice into a SHARED results tree, barrier, and process 0 computes
+    metrics over the combined PNGs — which must pixel-match the
+    single-process oracle, with identical J&F."""
+    from tests.test_eval_e2e import build_fake_davis
+
+    EVAL_WORKER = Path(__file__).with_name("_mp_eval_worker.py")
+    root = str(tmp_path_factory.mktemp("mp_davis"))
+    build_fake_davis(root)
+    log_dual = str(tmp_path_factory.mktemp("mp_logs_dual"))
+    log_single = str(tmp_path_factory.mktemp("mp_logs_single"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(EVAL_WORKER.parents[1]) + os.pathsep + env.get(
+        "PYTHONPATH", "")
+
+    def run(specs, log_dir):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(EVAL_WORKER), str(pid), str(n), str(port),
+                 root, log_dir],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for pid, n, port in specs
+        ]
+        out = []
+        for p in procs:
+            o, e = p.communicate(timeout=900)
+            assert p.returncode == 0, f"eval worker failed:\n{o}\n{e[-3000:]}"
+            # gloo logs connection lines to stdout around the barrier;
+            # take the last JSON line
+            payload = [l for l in o.strip().splitlines()
+                       if l.startswith("{")][-1]
+            out.append(json.loads(payload))
+        return out
+
+    port = _free_port()
+    dual = run([(0, 2, port), (1, 2, port)], log_dual)
+    (single,) = run([(-1, 1, 0)], log_single)
+
+    by_pid = {r["pid"]: r for r in dual}
+    # disjoint slices covering the dataset
+    assert not set(by_pid[0]["videos"]) & set(by_pid[1]["videos"])
+    assert (set(by_pid[0]["videos"]) | set(by_pid[1]["videos"])
+            == set(single["videos"]))
+    # only process 0 computed metrics; they match the single-process oracle
+    assert by_pid[1]["metrics"] is None
+    assert by_pid[0]["metrics"] is not None
+    for k, v in single["metrics"].items():
+        assert abs(by_pid[0]["metrics"][k] - v) < 1e-9, k
+
+    # every PNG of every video is pixel-identical to the oracle's
+    from PIL import Image
+    import numpy as np
+
+    for name in single["videos"]:
+        a_dir = os.path.join(by_pid[0]["out_root"], name)
+        b_dir = os.path.join(single["out_root"], name)
+        files = sorted(os.listdir(b_dir))
+        assert sorted(os.listdir(a_dir)) == files and files
+        for f in files:
+            a = np.array(Image.open(os.path.join(a_dir, f)))
+            b = np.array(Image.open(os.path.join(b_dir, f)))
+            np.testing.assert_array_equal(a, b, err_msg=f"{name}/{f}")

@@ -56,6 +56,11 @@ def get_args():
                         "model_dirs scheme)")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port rendezvous for --distributed (omit on "
+                        "autodetected clusters: TPU pods, SLURM, OMPI)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--crop_size", type=int, default=384)
     p.add_argument("--log_period", type=int, default=100)
     p.add_argument("--save_period", type=int, default=5000)
@@ -135,7 +140,9 @@ def main():
     import jax
 
     if args.distributed:
-        jax.distributed.initialize()
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
     cfg = build_config(args)
 
     from swem_tpu.train.loop import Trainer
