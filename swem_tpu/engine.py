@@ -407,7 +407,7 @@ class ChunkedVideoRunner:
             self._shard_b = NamedSharding(mesh, Pspec(data))      # (B, ...)
             self._shard_tb = NamedSharding(mesh, Pspec(None, data))  # (T, B, ...)
             self._shard_rep = NamedSharding(mesh, Pspec())        # replicated
-            self._vars_cache = (None, None)  # (id(variables), replicated copy)
+            self._vars_cache = (None, None)  # (variables ref, replicated copy)
             if "obj" in mesh.axis_names:
                 from swem_tpu.parallel import EngineSharding
 
@@ -453,9 +453,12 @@ class ChunkedVideoRunner:
         every video.
         """
         key, rep = self._vars_cache
-        if key != id(variables):
+        # identity via a held strong reference — caching a raw id() would
+        # silently serve stale weights if the old dict were GC'd and a new
+        # checkpoint's dict reused its id
+        if key is not variables:
             rep = jax.device_put(variables, self._shard_rep)
-            self._vars_cache = (id(variables), rep)
+            self._vars_cache = (variables, rep)
         return rep
 
     def _ladder(self):

@@ -124,22 +124,18 @@ class Evaluator:
         k = self.cfg.eval.obj_parallel
         if k <= 1:
             return None
-        import jax as _jax
+        from swem_tpu.parallel import clamp_pow2, eval_devices, make_mesh2
 
-        from swem_tpu.parallel import make_mesh2
-
-        ndev = _jax.device_count()
-        # round down to a power of two (slot buckets are powers of two, so
-        # any power-of-two k <= n_slots shards them evenly), then clamp
-        lim = min(k, n_slots, max(1, ndev // n_data))
-        k = 1
-        while k * 2 <= lim:
-            k *= 2
-        while k > 1 and n_slots % k:
-            k //= 2
+        # process-local devices: each distributed-eval process runs a
+        # disjoint video slice, so its meshes may only contain devices it
+        # can address (eval_devices); round down to a power of two dividing
+        # the slot bucket (buckets are powers of two, so any power-of-two
+        # k <= n_slots shards them evenly)
+        devs = eval_devices()
+        k = clamp_pow2(min(k, n_slots, max(1, len(devs) // n_data)), n_slots)
         if k <= 1:
             return None
-        return make_mesh2(n_data=n_data, n_obj=k)
+        return make_mesh2(n_data=n_data, n_obj=k, devices=devs)
 
     def _runner(self, out_size, batch: int = 1, n_slots: int = None,
                 mesh=None) -> ChunkedVideoRunner:
@@ -245,14 +241,16 @@ class Evaluator:
         # independent, so this is embarrassingly parallel — a capability
         # the strictly single-GPU-sequential reference has no analogue for)
         mesh = None
-        ndev = jax.device_count()
         # 2-D: videos over 'data', each video's slots over 'obj'; a video
         # batch that doesn't divide the device count shards over fewer
-        # chips (some idle) rather than not at all
-        from swem_tpu.parallel import derive_eval_mesh_extents
+        # chips (some idle) rather than not at all. Process-local devices:
+        # distributed eval gives each process disjoint batches, so meshes
+        # must not span other hosts' devices.
+        from swem_tpu.parallel import derive_eval_mesh_extents, eval_devices
 
+        devs = eval_devices()
         n_data, n_obj = derive_eval_mesh_extents(
-            ndev, self.cfg.eval.obj_parallel, vb)
+            len(devs), self.cfg.eval.obj_parallel, vb)
         if n_data * n_obj > 1:
             if n_obj > 1:
                 # slot buckets vary per group; the mesh obj-extent is fixed,
@@ -261,7 +259,7 @@ class Evaluator:
             else:
                 from swem_tpu.parallel import make_mesh
 
-                mesh = make_mesh(n_data)
+                mesh = make_mesh(n_data, devices=devs)
             self.logger.info(
                 f"sharding video batches over {n_data} devices"
                 + ("" if n_obj == 1 else f" x {n_obj} object shards"))

@@ -29,6 +29,29 @@ def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def clamp_pow2(limit: int, *divisors: int) -> int:
+    """Largest power of two ≤ ``limit`` that divides every ``divisors``."""
+    k = 1
+    while k * 2 <= limit:
+        k *= 2
+    while k > 1 and any(d % k for d in divisors):
+        k //= 2
+    return k
+
+
+def eval_devices() -> list:
+    """Devices THIS process may build evaluation meshes over.
+
+    Distributed evaluation shards the *video list* across processes
+    (disjoint work, no lockstep SPMD between hosts), so each process's
+    meshes must contain only its own addressable devices —
+    device_put onto another host's device is an error in
+    multi-controller JAX. Single-process: the global list.
+    """
+    return list(jax.local_devices() if jax.process_count() > 1
+                else jax.devices())
+
+
 def derive_eval_mesh_extents(ndev: int, obj_parallel: int, vb: int
                              ) -> tuple:
     """(n_data, n_obj) extents for batched-eval sharding.
@@ -41,10 +64,7 @@ def derive_eval_mesh_extents(ndev: int, obj_parallel: int, vb: int
     """
     n_obj = 1
     if obj_parallel > 1 and ndev > 1:
-        while n_obj * 2 <= min(obj_parallel, ndev):  # round down to 2^k
-            n_obj *= 2
-        while ndev % n_obj:
-            n_obj //= 2
+        n_obj = clamp_pow2(min(obj_parallel, ndev), ndev)
     limit = ndev // n_obj
     n_data = max(d for d in range(1, limit + 1) if vb % d == 0)
     return n_data, n_obj

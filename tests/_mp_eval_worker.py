@@ -1,11 +1,17 @@
 """Subprocess worker for the multi-process distributed-evaluation test.
 
-Run as: python _mp_eval_worker.py <pid> <nprocs> <port> <data_root> <log_dir>
-  pid >= 0: join a jax.distributed CPU (gloo) cluster (1 virtual device per
-            process) and run Evaluator.val() — each process evaluates its
-            round-robin video slice, process 0 computes metrics after the
-            barrier (the pod-scale eval mode; the reference is single-GPU).
+Run as: python _mp_eval_worker.py <pid> <nprocs> <port> <data_root> <log_dir> [mode]
+  pid >= 0: join a jax.distributed CPU (gloo) cluster and run
+            Evaluator.val() — each process evaluates its round-robin video
+            slice, process 0 computes metrics after the barrier (the
+            pod-scale eval mode; the reference is single-GPU).
   pid == -1: single-process oracle over the full video list.
+  mode: "seq" (default; 1 virtual device per process, sequential videos) or
+        "batched" (4 virtual devices per process, video_batch=2 +
+        obj_parallel=2 — the sharded compositions, which must build their
+        meshes over process-LOCAL devices when distributed: each process
+        runs a disjoint batch plan, so a mesh spanning another host's
+        devices would device_put onto non-addressable devices).
 
 Prints one JSON line: {"pid": ..., "videos": [...], "metrics": {...}|null}.
 """
@@ -13,6 +19,14 @@ Prints one JSON line: {"pid": ..., "videos": [...], "metrics": {...}|null}.
 import json
 import os
 import sys
+
+MODE = sys.argv[6] if len(sys.argv) > 6 else "seq"
+if MODE == "batched":
+    # must precede backend init; each process gets its own 4 local devices
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    )
 
 
 def main():
@@ -40,10 +54,12 @@ def main():
         backbone="resnet18", keydim=8, valdim=16, num_bases=4,
         num_em_iters=2, topl=2, max_objs=4, mdim=16,
     )
+    extra = ({"video_batch": 2, "obj_parallel": 2} if MODE == "batched"
+             else {})
     cfg = SWEMConfig(
         model=model_cfg,
         eval=EvalConfig(eval_set="DAVIS17", data_root=data_root, max_objs=4,
-                        davis_in_size=(64, 96), chunk=2),
+                        davis_in_size=(64, 96), chunk=2, **extra),
         log_dir=log_dir,
     )
     model = SWEM(model_cfg)
@@ -54,10 +70,20 @@ def main():
     )
     ev = Evaluator(cfg, variables)
     metrics = ev.val()
-    mine = list(range(len(ev.dataset)))[max(pid, 0)::max(nprocs, 1)]
+    if MODE == "batched":
+        # whole batches round-robin across processes; report per-video names
+        # from the out_root (the plan is internal)
+        names = sorted(
+            d for d in os.listdir(ev.out_root)
+            if os.path.isdir(os.path.join(ev.out_root, d))
+        ) if pid <= 0 else None
+        mine = names
+    else:
+        idx = list(range(len(ev.dataset)))[max(pid, 0)::max(nprocs, 1)]
+        mine = [ev.dataset.peek(i)[0] for i in idx]
     print(json.dumps({
         "pid": pid,
-        "videos": [ev.dataset.peek(i)[0] for i in mine],
+        "videos": mine,
         "metrics": metrics,
         "out_root": ev.out_root,
     }))

@@ -133,3 +133,77 @@ def test_two_process_distributed_eval_matches_single_process(tmp_path_factory):
             a = np.array(Image.open(os.path.join(a_dir, f)))
             b = np.array(Image.open(os.path.join(b_dir, f)))
             np.testing.assert_array_equal(a, b, err_msg=f"{name}/{f}")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_batched_obj_parallel_eval(tmp_path_factory):
+    """The sharded eval compositions under jax.distributed: video_batch=2 +
+    obj_parallel=2, 4 virtual devices per process. Each process runs a
+    disjoint round-robin slice of whole batches, so its meshes must be built
+    over process-LOCAL devices (parallel.eval_devices) — a mesh over the
+    global 8 devices would device_put onto the other host's non-addressable
+    devices and fail. Combined PNGs + J&F must match the single-process
+    batched oracle."""
+    from tests.test_eval_e2e import build_fake_davis
+
+    EVAL_WORKER = Path(__file__).with_name("_mp_eval_worker.py")
+    root = str(tmp_path_factory.mktemp("mp_davis_b"))
+    build_fake_davis(root, n_videos=4)  # 2 batches of 2: one per process
+    log_dual = str(tmp_path_factory.mktemp("mp_logs_bdual"))
+    log_single = str(tmp_path_factory.mktemp("mp_logs_bsingle"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(EVAL_WORKER.parents[1]) + os.pathsep + env.get(
+        "PYTHONPATH", "")
+
+    def run(specs, log_dir):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(EVAL_WORKER), str(pid), str(n), str(port),
+                 root, log_dir, "batched"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for pid, n, port in specs
+        ]
+        out = []
+        for p in procs:
+            o, e = p.communicate(timeout=900)
+            assert p.returncode == 0, f"eval worker failed:\n{o}\n{e[-3000:]}"
+            # gloo logs connection lines to stdout around the barrier;
+            # take the last JSON line
+            payload = [l for l in o.strip().splitlines()
+                       if l.startswith("{")][-1]
+            out.append(json.loads(payload))
+        return out
+
+    port = _free_port()
+    dual = run([(0, 2, port), (1, 2, port)], log_dual)
+    (single,) = run([(-1, 1, 0)], log_single)
+
+    by_pid = {r["pid"]: r for r in dual}
+    # the processes share one out_root; after the barrier process 0's
+    # listing must cover the full dataset (4 videos: one 2-video batch per
+    # process — a process dropping its batch would leave gaps here AND
+    # desync the metrics below via missing-prediction zero-padding)
+    assert by_pid[0]["videos"] == single["videos"]
+    assert len(single["videos"]) == 4
+    # only process 0 computed metrics; they match the single-process oracle
+    assert by_pid[1]["metrics"] is None
+    assert by_pid[0]["metrics"] is not None
+    for k, v in single["metrics"].items():
+        assert abs(by_pid[0]["metrics"][k] - v) < 1e-9, k
+
+    # every PNG of every video is pixel-identical to the oracle's
+    from PIL import Image
+    import numpy as np
+
+    for name in single["videos"]:
+        a_dir = os.path.join(by_pid[0]["out_root"], name)
+        b_dir = os.path.join(single["out_root"], name)
+        files = sorted(os.listdir(b_dir))
+        assert sorted(os.listdir(a_dir)) == files and files
+        for f in files:
+            a = np.array(Image.open(os.path.join(a_dir, f)))
+            b = np.array(Image.open(os.path.join(b_dir, f)))
+            np.testing.assert_array_equal(a, b, err_msg=f"{name}/{f}")

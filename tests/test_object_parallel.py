@@ -211,3 +211,44 @@ class TestMeshExtentDerivation:
         assert d(6, 2, 3) == (3, 2)
         # oversubscribed obj request clamps to the device count
         assert d(4, 16, 1) == (1, 4)
+
+    def test_clamp_pow2(self):
+        from swem_tpu.parallel import clamp_pow2 as c
+
+        assert c(8) == 8
+        assert c(7) == 4          # round down to a power of two
+        assert c(1) == 1
+        assert c(8, 8) == 8
+        assert c(8, 12) == 4      # halve until it divides
+        assert c(8, 6) == 2
+        assert c(8, 5) == 1       # odd divisor forces 1
+        assert c(6, 8, 4) == 4    # multiple divisors: all must hold
+        assert c(8, 8, 6) == 2
+
+    def test_eval_devices_single_process_is_global(self):
+        """Single-process runs see every device; the local-only restriction
+        applies only under jax.distributed (disjoint per-process work must
+        not build meshes spanning other hosts' devices)."""
+        from swem_tpu.parallel import eval_devices
+
+        assert jax.process_count() == 1
+        assert eval_devices() == list(jax.devices())
+
+
+class TestMeshVarsCache:
+    def test_cache_keys_by_identity_not_id(self, model4_and_vars):
+        """_mesh_vars must re-replicate when handed a DIFFERENT variables
+        pytree (checkpoint reload), even one structurally equal to the last;
+        keying by raw id() could alias a GC'd dict's reused id and silently
+        serve the previous checkpoint's weights."""
+        model, variables = model4_and_vars
+        mesh = make_mesh2(n_data=1, n_obj=4)
+        runner = ChunkedVideoRunner(model, (64, 64), chunk=4, mesh=mesh)
+
+        rep1 = runner._mesh_vars(variables)
+        assert runner._mesh_vars(variables) is rep1  # same object: cached
+        reloaded = jax.tree.map(lambda x: x + 0, variables)  # "new checkpoint"
+        rep2 = runner._mesh_vars(reloaded)
+        assert rep2 is not rep1
+        # the held key is the object itself (strong ref), immune to id reuse
+        assert runner._vars_cache[0] is reloaded
