@@ -55,6 +55,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--remat", default=False, nargs="?", const="block",
+                   choices=["block", "encoder"],
+                   help="jax.checkpoint granularity: 'block' = whole frame "
+                        "block, 'encoder' = key-encoder trunk only "
+                        "(recompute in backward instead of saving "
+                        "activations)")
     args = p.parse_args()
 
     from swem_tpu.config import (LossConfig, ModelConfig, SolverConfig,
@@ -78,7 +84,8 @@ def main():
         jnp.asarray(batches[0]["masks"][:1, 0]),
     )
     state = replicate(mesh, state)
-    step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+    step = jax.jit(make_train_step(model, cfg, tx, remat=args.remat),
+                   donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
 
     # warmup: compile + chip-load + first H2D/D2H path init

@@ -90,6 +90,11 @@ class SolverConfig:
     optimizer: str = "AdamW"  # 'SGD' | 'Adam' | 'AdamW'
     momentum: Tuple[float, float] = (0.9, 0.999)
     weight_decay: float = 5e-4
+    # activation rematerialization (TPU-native capacity knob; no reference
+    # analogue): None | 'encoder' (key trunk, -40..57% peak temp HBM for
+    # ~+4% step time) | 'block' (whole frame block; measured strictly worse
+    # — see scripts/remat_mem.py). None = fastest, all activations saved.
+    remat: Optional[str] = None
 
     @property
     def stage_name(self) -> str:

@@ -56,8 +56,11 @@ class Trainer:
         self.tx, self.sched = make_optimizer(cfg.solver)
         # donate the state: params + Adam moments would otherwise be
         # double-buffered on device every step
-        self.train_step = jax.jit(make_train_step(self.model, cfg, self.tx),
-                                  donate_argnums=(0,))
+        self.train_step = jax.jit(
+            make_train_step(self.model, cfg, self.tx,
+                            remat=cfg.solver.remat or False),
+            donate_argnums=(0,),
+        )
         self._predict = None  # lazily jitted visualization forward
         # one writer thread: checkpoint disk writes overlap training and
         # stay ordered; max_pending=1 bounds host RAM to one extra snapshot

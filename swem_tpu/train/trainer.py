@@ -59,7 +59,7 @@ def create_train_state(model: SWEM, rng: jax.Array, tx, sample_frame, sample_mas
 
 
 def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng,
-                      sharding=None):
+                      sharding=None, remat=False):
     """Frame-0 init + supervised unroll over frames 1..T-1 (swem_trainer.py:59-91).
 
     Returns stacked logits (B, T-1, H, W, N+1). ``sharding``: optional
@@ -67,6 +67,14 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng,
     so the per-object towers shard over a mesh 'obj' axis (object
     parallelism composed with data parallelism; the constraint transposes
     to itself under grad, so the backward towers shard identically).
+
+    ``remat``: jax.checkpoint granularity — False (save all activations,
+    fastest: 137.8 ms/step at bs8 384² bf16 on the v5e), 'encoder' (remat
+    the key-trunk encode: +4% step time, -40% peak temp HBM at bs8 / -57%
+    at bs12 — the capacity knob for bigger batches/resolutions), or
+    True/'block' (whole frame block: measured strictly worse than
+    'encoder' — slower AND higher peak). Full numbers + method in
+    scripts/remat_mem.py and scripts/train_bench.py.
     """
     cfg = model.cfg
 
@@ -79,16 +87,25 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng,
     out_size = (H, W)
     active = valid_obj[:, 1:] > 0.5  # (B, N)
 
+    def encode(variables, frame):
+        return model.apply(variables, frame, method="encode_frame")
+
+    if remat == "encoder":
+        encode = jax.checkpoint(encode)
+
     # NOTE: batching all T frames' encodes into one (B*T) conv pass was
     # measured at 253.7 vs 247.3 ms/step — at B=8 the convs are already
     # efficient and the per-frame slices of the stacked features cost
     # copies, so frames encode per-step here (objects are still hoisted
     # via encode_frame/skip_feats/frame_stem).
-    qk16, _, s16, _, _, vf0 = model.apply(variables, frames[:, 0],
-                                          method="encode_frame")
+    qk16, _, s16, _, _, vf0 = encode(variables, frames[:, 0])
     mv16 = bn(model.apply(variables, frames[:, 0], init_mask, s16, vf0,
                           method="encode_value"))
     h, w = qk16.shape[1:3]
+    em_pallas = resolve_use_pallas(
+        cfg.use_pallas, op="em", L=cfg.num_bases, n_objs=cfg.max_objs,
+        P=h * w, train=True,
+    )
     mem = cmem(em.fresh_memory(rng, B, cfg.max_objs, cfg.keydim, cfg.valdim,
                                cfg.num_bases))
     em_masks = prepare_em_masks(init_mask, at_least_f32(init_mask), (h, w))
@@ -97,54 +114,63 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng,
         at_least_f32(qk16.reshape(B, h * w, -1)),
         at_least_f32(mv16.reshape(B, cfg.max_objs, h * w, -1)),
         em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
-        use_pallas=resolve_use_pallas(
-            cfg.use_pallas, op="em", L=cfg.num_bases, n_objs=cfg.max_objs,
-            P=h * w, train=True,
-        ),
+        use_pallas=em_pallas,
     )
     mem = cmem(mem)
 
-    logits_list = []
-    for i in range(1, T):
-        qk16, qv16, s16, skip8, skip4, vf = model.apply(
-            variables, frames[:, i], method="encode_frame"
-        )
+    def frame_block(variables, mem, frame, drop_rng, last):
+        """One supervised step: encode -> match -> decode (-> memorize)."""
+        qk16, qv16, s16, skip8, skip4, vf = encode(variables, frame)
         # train=True enables p_drop memory dropout (modules.py:258-263) when
         # configured; the 'memdrop' stream is unused (and free) at p_drop=0.
         context = bn(model.apply(
             variables, qk16, qv16, mem, True, method="match",
-            rngs={"memdrop": jax.random.fold_in(rng, i)},
+            rngs={"memdrop": drop_rng},
         ))
         logits, pred_mask = model.apply(
             variables, context, skip8, skip4, valid_obj[:, 1:], out_size,
             method="decode"
         )
-        logits_list.append(logits)
-        if i < T - 1:
+        if not last:
             hard = hard_mask_from_pred(pred_mask)
-            mv16 = bn(model.apply(variables, frames[:, i], pred_mask, s16, vf,
+            mv16 = bn(model.apply(variables, frame, pred_mask, s16, vf,
                                   method="encode_value"))
             em_masks = prepare_em_masks(hard, pred_mask, (h, w))
-            mem = em.memorize(
+            mem = cmem(em.memorize(
                 mem,
                 at_least_f32(qk16.reshape(B, h * w, -1)),
                 at_least_f32(mv16.reshape(B, cfg.max_objs, h * w, -1)),
                 em_masks, active, n_iters=cfg.num_em_iters, tau=cfg.em_tau,
-                use_pallas=resolve_use_pallas(
-                    cfg.use_pallas, op="em", L=cfg.num_bases,
-                    n_objs=cfg.max_objs, P=h * w, train=True,
-                ),
-            )
-            mem = cmem(mem)
+                use_pallas=em_pallas,
+            ))
+        return mem, logits
+
+    from functools import partial
+
+    whole_block = remat is True or remat == "block"
+    blocks = {
+        last: (jax.checkpoint(partial(frame_block, last=last)) if whole_block
+               else partial(frame_block, last=last))
+        for last in (False, True)
+    }
+
+    logits_list = []
+    for i in range(1, T):
+        mem, logits = blocks[i == T - 1](
+            variables, mem, frames[:, i], jax.random.fold_in(rng, i))
+        logits_list.append(logits)
     return jnp.stack(logits_list, axis=1)
 
 
-def make_train_step(model: SWEM, cfg: SWEMConfig, tx, sharding=None) -> Callable:
+def make_train_step(model: SWEM, cfg: SWEMConfig, tx, sharding=None,
+                    remat=False) -> Callable:
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
 
     ``sharding``: optional ``parallel.EngineSharding`` to shard the unroll's
     per-object towers over a mesh 'obj' axis (composes with 'data' batch
-    sharding; see _unrolled_forward).
+    sharding; see _unrolled_forward). ``remat``: jax.checkpoint each frame
+    block (see _unrolled_forward — bit-identical results, less activation
+    HBM traffic, more recompute FLOPs).
     """
     criterion = make_criterion(cfg.loss)
 
@@ -156,7 +182,7 @@ def make_train_step(model: SWEM, cfg: SWEMConfig, tx, sharding=None) -> Callable
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits = _unrolled_forward(
                 model, variables, batch["frames"], batch["masks"][:, 0],
-                batch["valid_obj"], mem_rng, sharding=sharding,
+                batch["valid_obj"], mem_rng, sharding=sharding, remat=remat,
             )
             losses = criterion(
                 logits, batch["label"][:, 1:], state.step, batch["valid_obj"]

@@ -86,6 +86,29 @@ class TestTrainStep:
         _, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
         assert float(metrics["p"]) == 1.0
 
+    @pytest.mark.parametrize("mode", ["block", "encoder"])
+    def test_remat_step_matches_plain(self, setup, mode):
+        """remat (jax.checkpoint of the frame block / encoder) computes the
+        same step: identical loss; post-Adam params within the rounding band
+        the sharded-vs-local test also allows (recompute changes XLA fusion
+        order, and Adam's sqrt(v) normalization amplifies f32 rounding on
+        near-zero-variance params to O(lr))."""
+        model, cfg, tx, state, step_fn, batch = setup
+        key = jax.random.PRNGKey(7)
+        s0, m0 = step_fn(state, batch, key)
+        remat_fn = jax.jit(make_train_step(model, cfg, tx, remat=mode))
+        s1, m1 = remat_fn(state, batch, key)
+        np.testing.assert_allclose(
+            float(m1["total_loss"]), float(m0["total_loss"]), rtol=1e-6)
+        lr = 2e-4
+        diffs = np.concatenate([
+            np.abs(np.asarray(a) - np.asarray(b)).ravel()
+            for a, b in zip(jax.tree.leaves(s1.params),
+                            jax.tree.leaves(s0.params))
+        ])
+        assert diffs.max() < 3 * lr
+        assert np.quantile(diffs, 0.99) < 1e-5
+
     def test_p_drop_train_step_runs(self, setup):
         """p_drop>0 wires the 'memdrop' rng through the unrolled forward
         (modules.py:258-263) and still produces a finite loss."""

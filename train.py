@@ -61,6 +61,13 @@ def get_args():
                         "autodetected clusters: TPU pods, SLURM, OMPI)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--remat", default=None, nargs="?", const="encoder",
+                   choices=["encoder", "block"],
+                   help="rematerialize activations (jax.checkpoint) to cut "
+                        "peak HBM: 'encoder' = key-trunk only (-40..57%% "
+                        "temp memory for ~4%% step time — use for larger "
+                        "batches/resolutions), 'block' = whole frame block "
+                        "(measured strictly worse; see scripts/remat_mem.py)")
     p.add_argument("--crop_size", type=int, default=384)
     p.add_argument("--log_period", type=int, default=100)
     p.add_argument("--save_period", type=int, default=5000)
@@ -86,7 +93,7 @@ def build_config(args):
         em_tau=args.tau, topl=args.top_l, max_objs=args.num_obj, dtype=args.dtype,
     )
     solver = SolverConfig(stage=args.stage, base_lr=args.lr,
-                          weight_decay=args.weight_decay)
+                          weight_decay=args.weight_decay, remat=args.remat)
     if args.total_iters is not None:
         over = tuple(args.total_iters)
         solver = dataclasses.replace(
