@@ -44,7 +44,9 @@ import jax.numpy as jnp
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--remat", default=False, nargs="?", const="block",
+    # bare --remat means 'encoder' everywhere (train.py agrees); 'block' is
+    # the documented-worse mode and must be asked for by name
+    p.add_argument("--remat", default=False, nargs="?", const="encoder",
                    choices=["block", "encoder"])
     args = p.parse_args()
 

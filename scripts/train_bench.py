@@ -55,7 +55,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--remat", default=False, nargs="?", const="block",
+    p.add_argument("--remat", default=False, nargs="?", const="encoder",
                    choices=["block", "encoder"],
                    help="jax.checkpoint granularity: 'block' = whole frame "
                         "block, 'encoder' = key-encoder trunk only "

@@ -22,6 +22,7 @@ import numpy as np
 import pytest
 
 WORKER = Path(__file__).with_name("_mp_worker.py")
+EVAL_WORKER = Path(__file__).with_name("_mp_eval_worker.py")
 
 
 def _free_port() -> int:
@@ -65,55 +66,48 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(dual[0]["loss"], single["loss"], rtol=1e-4)
 
 
-@pytest.mark.slow
-def test_two_process_distributed_eval_matches_single_process(tmp_path_factory):
-    """Distributed evaluation (the pod-scale mode the single-GPU reference
-    lacks): 2 jax.distributed processes each evaluate a disjoint round-robin
-    video slice into a SHARED results tree, barrier, and process 0 computes
-    metrics over the combined PNGs — which must pixel-match the
-    single-process oracle, with identical J&F."""
-    from tests.test_eval_e2e import build_fake_davis
-
-    EVAL_WORKER = Path(__file__).with_name("_mp_eval_worker.py")
-    root = str(tmp_path_factory.mktemp("mp_davis"))
-    build_fake_davis(root)
-    log_dual = str(tmp_path_factory.mktemp("mp_logs_dual"))
-    log_single = str(tmp_path_factory.mktemp("mp_logs_single"))
-
+def _run_eval_workers(specs, root, log_dir, mode=None, timeout=900):
+    """Launch _mp_eval_worker.py per spec; return the JSON payloads."""
     env = dict(os.environ)
     env["PYTHONPATH"] = str(EVAL_WORKER.parents[1]) + os.pathsep + env.get(
         "PYTHONPATH", "")
+    argv_tail = [root, log_dir] + ([mode] if mode else [])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(EVAL_WORKER), str(pid), str(n), str(port)]
+            + argv_tail,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid, n, port in specs
+    ]
+    out = []
+    for p in procs:
+        o, e = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"eval worker failed:\n{o}\n{e[-3000:]}"
+        # gloo logs connection lines to stdout around the barrier; take the
+        # last JSON line
+        payload = [l for l in o.strip().splitlines() if l.startswith("{")][-1]
+        out.append(json.loads(payload))
+    return out
 
-    def run(specs, log_dir):
-        procs = [
-            subprocess.Popen(
-                [sys.executable, str(EVAL_WORKER), str(pid), str(n), str(port),
-                 root, log_dir],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=env,
-            )
-            for pid, n, port in specs
-        ]
-        out = []
-        for p in procs:
-            o, e = p.communicate(timeout=900)
-            assert p.returncode == 0, f"eval worker failed:\n{o}\n{e[-3000:]}"
-            # gloo logs connection lines to stdout around the barrier;
-            # take the last JSON line
-            payload = [l for l in o.strip().splitlines()
-                       if l.startswith("{")][-1]
-            out.append(json.loads(payload))
-        return out
 
+def _run_eval_pair(tmp_path_factory, tag, mode=None, n_videos=2):
+    """Run the 2-process distributed eval AND the single-process oracle."""
+    from tests.test_eval_e2e import build_fake_davis
+
+    root = str(tmp_path_factory.mktemp(f"mp_davis_{tag}"))
+    build_fake_davis(root, n_videos=n_videos)
+    log_dual = str(tmp_path_factory.mktemp(f"mp_logs_{tag}_dual"))
+    log_single = str(tmp_path_factory.mktemp(f"mp_logs_{tag}_single"))
     port = _free_port()
-    dual = run([(0, 2, port), (1, 2, port)], log_dual)
-    (single,) = run([(-1, 1, 0)], log_single)
+    dual = _run_eval_workers([(0, 2, port), (1, 2, port)], root, log_dual,
+                             mode=mode)
+    (single,) = _run_eval_workers([(-1, 1, 0)], root, log_single, mode=mode)
+    return {r["pid"]: r for r in dual}, single
 
-    by_pid = {r["pid"]: r for r in dual}
-    # disjoint slices covering the dataset
-    assert not set(by_pid[0]["videos"]) & set(by_pid[1]["videos"])
-    assert (set(by_pid[0]["videos"]) | set(by_pid[1]["videos"])
-            == set(single["videos"]))
+
+def _assert_metrics_and_pngs_match(by_pid, single):
+    """Process 0's metrics and the combined PNG tree must equal the oracle."""
     # only process 0 computed metrics; they match the single-process oracle
     assert by_pid[1]["metrics"] is None
     assert by_pid[0]["metrics"] is not None
@@ -122,7 +116,6 @@ def test_two_process_distributed_eval_matches_single_process(tmp_path_factory):
 
     # every PNG of every video is pixel-identical to the oracle's
     from PIL import Image
-    import numpy as np
 
     for name in single["videos"]:
         a_dir = os.path.join(by_pid[0]["out_root"], name)
@@ -133,6 +126,22 @@ def test_two_process_distributed_eval_matches_single_process(tmp_path_factory):
             a = np.array(Image.open(os.path.join(a_dir, f)))
             b = np.array(Image.open(os.path.join(b_dir, f)))
             np.testing.assert_array_equal(a, b, err_msg=f"{name}/{f}")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_eval_matches_single_process(tmp_path_factory):
+    """Distributed evaluation (the pod-scale mode the single-GPU reference
+    lacks): 2 jax.distributed processes each evaluate a disjoint round-robin
+    video slice into a SHARED results tree, barrier, and process 0 computes
+    metrics over the combined PNGs — which must pixel-match the
+    single-process oracle, with identical J&F."""
+    by_pid, single = _run_eval_pair(tmp_path_factory, "seq")
+
+    # disjoint slices covering the dataset
+    assert not set(by_pid[0]["videos"]) & set(by_pid[1]["videos"])
+    assert (set(by_pid[0]["videos"]) | set(by_pid[1]["videos"])
+            == set(single["videos"]))
+    _assert_metrics_and_pngs_match(by_pid, single)
 
 
 @pytest.mark.slow
@@ -144,66 +153,13 @@ def test_two_process_distributed_batched_obj_parallel_eval(tmp_path_factory):
     global 8 devices would device_put onto the other host's non-addressable
     devices and fail. Combined PNGs + J&F must match the single-process
     batched oracle."""
-    from tests.test_eval_e2e import build_fake_davis
+    by_pid, single = _run_eval_pair(tmp_path_factory, "batched",
+                                    mode="batched", n_videos=4)
 
-    EVAL_WORKER = Path(__file__).with_name("_mp_eval_worker.py")
-    root = str(tmp_path_factory.mktemp("mp_davis_b"))
-    build_fake_davis(root, n_videos=4)  # 2 batches of 2: one per process
-    log_dual = str(tmp_path_factory.mktemp("mp_logs_bdual"))
-    log_single = str(tmp_path_factory.mktemp("mp_logs_bsingle"))
-
-    env = dict(os.environ)
-    env["PYTHONPATH"] = str(EVAL_WORKER.parents[1]) + os.pathsep + env.get(
-        "PYTHONPATH", "")
-
-    def run(specs, log_dir):
-        procs = [
-            subprocess.Popen(
-                [sys.executable, str(EVAL_WORKER), str(pid), str(n), str(port),
-                 root, log_dir, "batched"],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=env,
-            )
-            for pid, n, port in specs
-        ]
-        out = []
-        for p in procs:
-            o, e = p.communicate(timeout=900)
-            assert p.returncode == 0, f"eval worker failed:\n{o}\n{e[-3000:]}"
-            # gloo logs connection lines to stdout around the barrier;
-            # take the last JSON line
-            payload = [l for l in o.strip().splitlines()
-                       if l.startswith("{")][-1]
-            out.append(json.loads(payload))
-        return out
-
-    port = _free_port()
-    dual = run([(0, 2, port), (1, 2, port)], log_dual)
-    (single,) = run([(-1, 1, 0)], log_single)
-
-    by_pid = {r["pid"]: r for r in dual}
     # the processes share one out_root; after the barrier process 0's
     # listing must cover the full dataset (4 videos: one 2-video batch per
     # process — a process dropping its batch would leave gaps here AND
     # desync the metrics below via missing-prediction zero-padding)
     assert by_pid[0]["videos"] == single["videos"]
     assert len(single["videos"]) == 4
-    # only process 0 computed metrics; they match the single-process oracle
-    assert by_pid[1]["metrics"] is None
-    assert by_pid[0]["metrics"] is not None
-    for k, v in single["metrics"].items():
-        assert abs(by_pid[0]["metrics"][k] - v) < 1e-9, k
-
-    # every PNG of every video is pixel-identical to the oracle's
-    from PIL import Image
-    import numpy as np
-
-    for name in single["videos"]:
-        a_dir = os.path.join(by_pid[0]["out_root"], name)
-        b_dir = os.path.join(single["out_root"], name)
-        files = sorted(os.listdir(b_dir))
-        assert sorted(os.listdir(a_dir)) == files and files
-        for f in files:
-            a = np.array(Image.open(os.path.join(a_dir, f)))
-            b = np.array(Image.open(os.path.join(b_dir, f)))
-            np.testing.assert_array_equal(a, b, err_msg=f"{name}/{f}")
+    _assert_metrics_and_pngs_match(by_pid, single)
