@@ -18,13 +18,16 @@ wall-clock from train_bench.py, 20-step avg, bs8):
 
 The step is memory-BANDWIDTH-bound (roofline AI 118 vs ridge 240), but
 remat's recompute FLOPs still cost wall-clock: +19% for whole-block, +4%
-for encoder-only. So the default stays remat=False for speed, and
+for encoder-only (shrinking to +1.8% at bs16: 283.8 vs 278.9 ms, both
+executed on-chip). So the default stays remat=False for speed, and
 `--remat encoder` is the capacity knob: -40% peak temp HBM at bs8 and
--57% at bs12 (the key-trunk activations dominate and scale with batch),
-buying a 2-3x larger batch or resolution on a fixed chip for ~4% step
-time. Whole-block remat is strictly dominated (slower AND bigger peak
-than encoder-only: XLA keeps more of the combined recompute+backward
-live at once) — kept only as the measured record.
+-57% at bs12 (the key-trunk activations dominate and scale with batch).
+At bs24 the unremated step needs 14.18 GB temp + 1.6 GB args/outputs —
+over the v5e's 16 GB — while encoder remat fits easily at 9.36 GB temp;
+that is the batch the knob unlocks per chip (or equivalently larger
+crops / longer unrolls). Whole-block remat is strictly dominated (slower
+AND bigger peak than encoder-only: XLA keeps more of the combined
+recompute+backward live at once) — kept only as the measured record.
 """
 
 from __future__ import annotations
