@@ -353,6 +353,25 @@ def run_chunk(
     return mem, preds
 
 
+def ladder_sizes(chunk: int):
+    """Descending powers of two below ``chunk``.
+
+    Greedy selection over distinct powers {2^k, ..., 2, 1} covers ANY
+    remainder < 2^(k+1) >= chunk (binary representation), so the tail
+    decomposition is exact for every chunk size — starting at chunk//2
+    would leave gaps for non-power-of-two chunks (chunk=6 -> [3, 1]
+    cannot represent remainders 2 or 5).
+    """
+    s = 1
+    while s * 2 < chunk:
+        s *= 2
+    sizes = []
+    while s >= 1:
+        sizes.append(s)
+        s //= 2
+    return sizes
+
+
 class ChunkedVideoRunner:
     """Compile-once-per-(chunk,out_size) whole-video inference.
 
@@ -462,22 +481,7 @@ class ChunkedVideoRunner:
         return rep
 
     def _ladder(self):
-        """Descending powers of two below ``chunk``.
-
-        Greedy selection over distinct powers {2^k, ..., 2, 1} covers ANY
-        remainder < 2^(k+1) >= chunk (binary representation), so the tail
-        decomposition is exact for every chunk size — starting at chunk//2
-        would leave gaps for non-power-of-two chunks (chunk=6 -> [3, 1]
-        cannot represent remainders 2 or 5).
-        """
-        s = 1
-        while s * 2 < self.chunk:
-            s *= 2
-        sizes = []
-        while s >= 1:
-            sizes.append(s)
-            s //= 2
-        return sizes
+        return ladder_sizes(self.chunk)
 
     def warmup(self, variables, frame_hw, batch: int, n_slots: int,
                frame_dtype=jnp.float32):
