@@ -20,6 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     "evaluation_method.py",
     "evaluation_codalab.py",
     os.path.join("scripts", "verify_parity.py"),
+    os.path.join("scripts", "export_model.py"),
 ])
 def test_cli_help(cli):
     env = dict(os.environ)

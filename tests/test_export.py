@@ -84,6 +84,37 @@ def test_export_manifest_and_files(tiny, tmp_path):
     assert os.path.exists(os.path.join(path, "weights.msgpack"))
 
 
+def test_export_cli_end_to_end(tiny, tmp_path):
+    """Orbax checkpoint -> export_model.py -> jax-only reload -> preds."""
+    import subprocess
+    import sys
+
+    from swem_tpu.io.checkpoint import save_params
+
+    cfg, model, variables = tiny
+    ck = str(tmp_path / "variables")
+    save_params(ck, variables)
+    art = str(tmp_path / "art")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "export_model.py"),
+         "--resume", ck, "--out", art, "--backbone", "resnet18",
+         "--key_dim", "8", "--val_dim", "16", "--num_bases", "4",
+         "--em_iters", "2", "--top_l", "2", "--max_objs", "4", "--mdim", "16",
+         "--in_size", "64", "96", "--out_size", "64", "96", "--chunk", "4",
+         "--platforms", "cpu"],
+        capture_output=True, text=True, env=env, timeout=560, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    frames, init_mask, active = _video(6, 64, 96, cfg.max_objs)
+    runner = ExportedRunner(art)
+    preds = runner(frames, init_mask, active)
+    assert preds.shape == (5, 1, 64, 96) and preds.dtype == np.uint8
+
+
 def test_export_input_validation(tiny, tmp_path):
     cfg, model, variables = tiny
     path = str(tmp_path / "artifact")
