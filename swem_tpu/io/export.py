@@ -262,3 +262,76 @@ class ExportedRunner:
             return jnp.concatenate(preds, axis=0)
         return np.concatenate(
             [np.asarray(p, dtype=np.uint8) for p in preds], axis=0)
+
+
+class ExportedSession:
+    """Online per-frame streaming from the SAME artifact.
+
+    The chunk ladder always bottoms out at a 1-frame scan, so every
+    exported artifact already contains a single-frame
+    match -> decode -> memorize program; threading the memory through it
+    frame by frame reproduces ``swem_tpu.serve.StreamingSession``'s
+    start/push contract (single-video, batch-1 artifacts) with jax alone.
+    Mid-stream object injection is not part of the exported programs — use
+    the live ``StreamingSession`` when the YTVOS protocol is needed.
+    """
+
+    def __init__(self, path: str):
+        self._r = ExportedRunner(path)
+        if self._r.batch != 1:
+            raise ValueError("streaming replay wants a batch=1 artifact")
+        if self._r.scores:
+            raise ValueError("streaming replay wants a uint8 (scores=False) "
+                             "artifact")
+        self._step = self._r._chunks[1]
+        self._fin = np.zeros((1,), bool)
+        self._mem = None
+        self._active = None
+        self._frame_count = 0
+        self.n_slots = self._r.n_slots
+        self.frame_hw = self._r.frame_hw
+        self.out_size = self._r.out_size
+
+    def warmup(self) -> None:
+        self._r.warmup()
+
+    def start(self, frame0: np.ndarray, init_mask: np.ndarray) -> None:
+        """Seed the memory. frame0 (H,W,3) of the artifact dtype; init_mask
+        (Ho,Wo) uint8 labels (0 = background, 1..n = objects; ids beyond
+        the slot budget drop to background)."""
+        frame0 = np.asarray(frame0)
+        if frame0.dtype != self._r.frame_dtype:
+            raise TypeError(f"artifact expects {self._r.frame_dtype} frames, "
+                            f"got {frame0.dtype}")
+        labels = np.asarray(init_mask)
+        onehot = (labels[..., None] ==
+                  np.arange(self.n_slots + 1)).astype(np.float32)
+        active = np.zeros((1, self.n_slots), bool)
+        present = np.unique(labels)
+        for obj in present[present > 0]:
+            if obj <= self.n_slots:
+                active[0, obj - 1] = True
+        self._active = active
+        self._mem = self._r._init(
+            self._r._vars, frame0[None], onehot[None], active)
+        self._frame_count = 1
+
+    def push(self, frame: np.ndarray) -> np.ndarray:
+        """Segment one frame and update the memory. Returns (Ho,Wo) uint8."""
+        if self._mem is None:
+            raise RuntimeError("call start() first")
+        frame = np.asarray(frame)
+        if frame.dtype != self._r.frame_dtype:
+            raise TypeError(f"artifact expects {self._r.frame_dtype} frames, "
+                            f"got {frame.dtype}")
+        self._mem, pred = self._step(
+            self._r._vars, self._mem, frame[None, None], self._active,
+            self._fin)
+        self._frame_count += 1
+        # slice AFTER the host transfer (device-array indexing compiles a
+        # one-off gather program per offset)
+        return np.asarray(pred)[0, 0]
+
+    @property
+    def frames_seen(self) -> int:
+        return self._frame_count

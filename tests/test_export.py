@@ -84,6 +84,30 @@ def test_export_manifest_and_files(tiny, tmp_path):
     assert os.path.exists(os.path.join(path, "weights.msgpack"))
 
 
+def test_exported_session_matches_runner(tiny, tmp_path):
+    """Streaming replay (chunk_1 program) == offline exported runner."""
+    from swem_tpu.io.export import ExportedSession
+
+    cfg, model, variables = tiny
+    H, W, T = 64, 96, 5
+    path = str(tmp_path / "artifact")
+    export_runner(model, variables, path, frame_hw=(H, W), chunk=4,
+                  platforms=("cpu",))
+    frames, init_mask, active = _video(T, H, W, cfg.max_objs)
+
+    offline = ExportedRunner(path)(frames, init_mask, active)
+
+    labels = np.argmax(init_mask[0], axis=-1).astype(np.uint8)
+    sess = ExportedSession(path)
+    sess.warmup()
+    sess.start(frames[0, 0], labels)
+    stream = [sess.push(f[0]) for f in frames[1:]]
+    assert sess.frames_seen == T
+    # the offline runner skips the FINAL frame's memorize, which only
+    # affects post-video state — per-frame predictions are identical
+    np.testing.assert_array_equal(np.stack(stream), offline[:, 0])
+
+
 def test_export_cli_end_to_end(tiny, tmp_path):
     """Orbax checkpoint -> export_model.py -> jax-only reload -> preds."""
     import subprocess
