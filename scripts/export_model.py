@@ -47,6 +47,9 @@ def get_args():
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--scores", action="store_true",
                    help="emit f32 soft masks instead of uint8 indices")
+    p.add_argument("--injectable", action="store_true",
+                   help="export YTVOS mid-video object injection inputs "
+                   "(ExportedRunner injections / ExportedSession.add_objects)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     return p.parse_args()
@@ -73,7 +76,8 @@ def main():
         model, variables, args.out,
         frame_hw=tuple(args.in_size), out_size=tuple(args.out_size),
         batch=args.batch, chunk=args.chunk, scores=args.scores,
-        seed=args.seed, platforms=tuple(args.platforms),
+        injectable=args.injectable, seed=args.seed,
+        platforms=tuple(args.platforms),
     )
     print(f"wrote artifact to {args.out}")
 

@@ -37,8 +37,6 @@ import numpy as np
 from flax import serialization as flax_ser
 from jax import export as jexport
 
-from swem_tpu import engine
-
 FORMAT_VERSION = 1
 _MANIFEST = "manifest.json"
 _WEIGHTS = "weights.msgpack"
@@ -64,6 +62,7 @@ def export_runner(
     frame_dtype=np.uint8,
     preprocess=None,
     scores: bool = False,
+    injectable: bool = False,
     seed: int = 0,
     platforms: Tuple[str, ...] = ("cpu", "tpu"),
 ) -> None:
@@ -75,7 +74,18 @@ def export_runner(
     eval path's preprocess, eval/evaluator.py). The frame-0 random prototype
     draw is baked in from ``seed`` (it only warm-starts the first EM update
     and washes out against real data; see engine.init_memory).
+
+    ``injectable`` exports the chunk programs with per-frame
+    (inject_idx, inject_new) scan inputs for YTVOS mid-video object
+    injection (swem_evaluator.py:124-130; see engine.run_chunk) — the
+    deployed artifact then supports ``ExportedRunner(injections=...)`` and
+    ``ExportedSession.add_objects``, at the cost of one extra uint8 index
+    map per frame crossing the host link.
     """
+    # model code is an EXPORT-time dependency only; artifacts reload with
+    # jax alone (the loaders below never touch swem_tpu)
+    from swem_tpu import engine
+
     cfg = model.cfg
     if n_slots is None:
         n_slots = cfg.max_objs
@@ -119,13 +129,28 @@ def export_runner(
         for l in jax.tree_util.tree_leaves(mem_aval)
     )
 
-    def chunk_fn(var_sd, mem_leaves, frames, active, final_mask):
-        mem = jax.tree_util.tree_unflatten(mem_treedef, list(mem_leaves))
-        mem, preds = engine.run_chunk(
-            model, var_sd, mem, pre(frames), active, tuple(out_size),
-            scores=scores, final_mask=final_mask,
-        )
-        return tuple(jax.tree_util.tree_leaves(mem)), preds
+    if injectable:
+        def chunk_fn(var_sd, mem_leaves, frames, active, final_mask,
+                     inject_idx, inject_new):
+            mem = jax.tree_util.tree_unflatten(mem_treedef, list(mem_leaves))
+            mem, preds = engine.run_chunk(
+                model, var_sd, mem, pre(frames), active, tuple(out_size),
+                scores=scores, final_mask=final_mask,
+                inject_idx=inject_idx, inject_new=inject_new,
+            )
+            # the scan also carries slot activations forward; return the
+            # post-chunk flags so the replayer can thread them like the mem
+            act = jnp.any(
+                jnp.concatenate([active[None], inject_new], axis=0), axis=0)
+            return tuple(jax.tree_util.tree_leaves(mem)), preds, act
+    else:
+        def chunk_fn(var_sd, mem_leaves, frames, active, final_mask):
+            mem = jax.tree_util.tree_unflatten(mem_treedef, list(mem_leaves))
+            mem, preds = engine.run_chunk(
+                model, var_sd, mem, pre(frames), active, tuple(out_size),
+                scores=scores, final_mask=final_mask,
+            )
+            return tuple(jax.tree_util.tree_leaves(mem)), preds
 
     os.makedirs(os.path.join(path, _PROGRAMS), exist_ok=True)
     plats = list(platforms)
@@ -135,12 +160,19 @@ def export_runner(
     with open(os.path.join(path, _PROGRAMS, "init.stablehlo"), "wb") as f:
         f.write(exp_init.serialize())
 
-    sizes = [chunk] + engine.ladder_sizes(chunk)
+    # dedupe: chunk=1's ladder is [1] again — one program, one manifest entry
+    sizes = list(dict.fromkeys([chunk] + engine.ladder_sizes(chunk)))
     for size in sizes:
         fspec = jax.ShapeDtypeStruct((size, batch, h, w, 3), frame_dtype)
         finspec = jax.ShapeDtypeStruct((size,), np.bool_)
-        exp = jexport.export(jax.jit(chunk_fn), platforms=plats)(
-            vspec, mem_specs, fspec, aspec, finspec)
+        specs = (vspec, mem_specs, fspec, aspec, finspec)
+        if injectable:
+            specs = specs + (
+                jax.ShapeDtypeStruct(
+                    (size, batch) + tuple(out_size), np.uint8),
+                jax.ShapeDtypeStruct((size, batch, n_slots), np.bool_),
+            )
+        exp = jexport.export(jax.jit(chunk_fn), platforms=plats)(*specs)
         with open(os.path.join(path, _PROGRAMS, f"chunk_{size}.stablehlo"),
                   "wb") as f:
             f.write(exp.serialize())
@@ -161,6 +193,7 @@ def export_runner(
         "sizes": sizes,
         "frame_dtype": frame_dtype.name,
         "scores": scores,
+        "injectable": injectable,
         "seed": seed,
         "model_config": dataclasses.asdict(cfg),
     }
@@ -203,6 +236,10 @@ class ExportedRunner:
         self.n_slots = m["n_slots"]
         self.chunk = m["chunk"]
         self.scores = m["scores"]
+        self.injectable = m.get("injectable", False)
+        # the manifest stores [chunk] + its remainder ladder (deduped); the
+        # replay loop below needs no model code to reconstruct it
+        self._ladder = [s for s in m["sizes"] if s != self.chunk]
 
     def warmup(self) -> None:
         """Compile + chip-load every program outside any timed region."""
@@ -214,14 +251,24 @@ class ExportedRunner:
         for size in self._chunks:
             fc = np.zeros((size, B, h, w, 3), self.frame_dtype)
             fin = np.zeros((size,), bool)
-            mem, p = self._chunks[size](self._vars, mem, fc, active, fin)
+            extra = ()
+            if self.injectable:
+                extra = (np.zeros((size, B) + self.out_size, np.uint8),
+                         np.zeros((size, B, n), bool))
+            out = self._chunks[size](self._vars, mem, fc, active, fin, *extra)
+            mem, p = out[0], out[1]
             if self.scores:
                 jax.block_until_ready(p)
             else:
                 np.asarray(p)
         jax.block_until_ready(mem)
 
-    def __call__(self, frames: np.ndarray, init_mask, active):
+    def __call__(self, frames: np.ndarray, init_mask, active,
+                 injections=None):
+        """Replay a whole video. ``injections`` (needs an ``injectable``
+        artifact): {frame_idx: (idx_map (B, Ho, Wo) uint8 slot-index map,
+        new (B, N) bool)} — the ChunkedVideoRunner contract for YTVOS
+        mid-video object injection."""
         frames = np.asarray(frames)
         if frames.dtype != self.frame_dtype:
             raise TypeError(
@@ -230,6 +277,10 @@ class ExportedRunner:
             raise ValueError(
                 f"artifact expects (T, {self.batch}, {self.frame_hw[0]}, "
                 f"{self.frame_hw[1]}, 3) frames, got {frames.shape}")
+        if injections and not self.injectable:
+            raise ValueError(
+                "injections need an artifact exported with injectable=True")
+        injections = injections or {}
         T, B = frames.shape[:2]
         init_mask = np.asarray(init_mask, np.float32)
         active = np.asarray(active, bool)
@@ -244,20 +295,29 @@ class ExportedRunner:
         preds = []
         t = 1
 
-        def run_sub(mem, t, size):
+        def run_sub(mem, active, t, size):
             fin = np.zeros((size,), bool)
             if t + size == T:
                 fin[-1] = True  # final frame: memorize skipped in-scan
-            mem, p = self._chunks[size](
-                self._vars, mem, frames[t : t + size], active, fin)
+            args = (self._vars, mem, frames[t : t + size], active, fin)
+            if self.injectable:
+                inj_idx = np.zeros((size, B) + self.out_size, np.uint8)
+                inj_new = np.zeros((size, B, self.n_slots), bool)
+                for j in range(size):
+                    inj = injections.get(t + j)
+                    if inj is not None:
+                        inj_idx[j], inj_new[j] = inj
+                mem, p, active = self._chunks[size](*args, inj_idx, inj_new)
+            else:
+                mem, p = self._chunks[size](*args)
             preds.append(p)
-            return mem, t + size
+            return mem, active, t + size
 
         while t + self.chunk <= T:
-            mem, t = run_sub(mem, t, self.chunk)
-        for size in engine.ladder_sizes(self.chunk):
+            mem, active, t = run_sub(mem, active, t, self.chunk)
+        for size in self._ladder:
             if t + size <= T:
-                mem, t = run_sub(mem, t, size)
+                mem, active, t = run_sub(mem, active, t, size)
         if self.scores:
             return jnp.concatenate(preds, axis=0)
         return np.concatenate(
@@ -272,8 +332,9 @@ class ExportedSession:
     match -> decode -> memorize program; threading the memory through it
     frame by frame reproduces ``swem_tpu.serve.StreamingSession``'s
     start/push contract (single-video, batch-1 artifacts) with jax alone.
-    Mid-stream object injection is not part of the exported programs — use
-    the live ``StreamingSession`` when the YTVOS protocol is needed.
+    Artifacts exported with ``injectable=True`` additionally support
+    ``add_objects`` — the YTVOS mid-stream injection protocol
+    (swem_evaluator.py:124-130), matching the live session's method.
     """
 
     def __init__(self, path: str):
@@ -304,6 +365,11 @@ class ExportedSession:
             raise TypeError(f"artifact expects {self._r.frame_dtype} frames, "
                             f"got {frame0.dtype}")
         labels = np.asarray(init_mask)
+        # clip BEFORE one-hotting: ids beyond the slot budget must fall to
+        # background (channel 0 == 1.0), the data.davis_test.to_onehot
+        # contract — a bare ==arange would zero the whole pixel vector,
+        # silently corrupting the background value encoding
+        labels = np.where(labels <= self.n_slots, labels, 0)
         onehot = (labels[..., None] ==
                   np.arange(self.n_slots + 1)).astype(np.float32)
         active = np.zeros((1, self.n_slots), bool)
@@ -324,12 +390,51 @@ class ExportedSession:
         if frame.dtype != self._r.frame_dtype:
             raise TypeError(f"artifact expects {self._r.frame_dtype} frames, "
                             f"got {frame.dtype}")
-        self._mem, pred = self._step(
+        extra = ()
+        if self._r.injectable:
+            # an all-False inject_new row is an exact no-op in-program
+            extra = (np.zeros((1, 1) + self.out_size, np.uint8),
+                     np.zeros((1, 1, self.n_slots), bool))
+        out = self._step(
             self._r._vars, self._mem, frame[None, None], self._active,
-            self._fin)
+            self._fin, *extra)
+        self._mem, pred = out[0], out[1]
         self._frame_count += 1
         # slice AFTER the host transfer (device-array indexing compiles a
         # one-off gather program per offset)
+        return np.asarray(pred)[0, 0]
+
+    def add_objects(self, frame: np.ndarray, mask: np.ndarray,
+                    new_ids) -> np.ndarray:
+        """Mid-stream object injection (the YTVOS protocol,
+        swem_evaluator.py:124-130) — needs an ``injectable`` artifact.
+
+        Matches ``serve.StreamingSession.add_objects``: ``mask`` is a
+        (Ho,Wo) uint8 label map containing the new objects; ``new_ids`` are
+        their label values. Predictions under the new objects are replaced
+        by the ground truth before the memorize, and the new slots join the
+        active set for all later frames."""
+        if self._mem is None:
+            raise RuntimeError("call start() first")
+        if not self._r.injectable:
+            raise ValueError(
+                "add_objects needs an artifact exported with injectable=True")
+        frame = np.asarray(frame)
+        if frame.dtype != self._r.frame_dtype:
+            raise TypeError(f"artifact expects {self._r.frame_dtype} frames, "
+                            f"got {frame.dtype}")
+        labels = np.asarray(mask)
+        labels = np.where(labels <= self.n_slots, labels, 0).astype(np.uint8)
+        inew = np.zeros((1, 1, self.n_slots), bool)
+        for obj in new_ids:
+            if not 1 <= obj <= self.n_slots:
+                raise ValueError(f"object id {obj} out of slot budget")
+            inew[0, 0, obj - 1] = True
+        self._mem, pred, act = self._step(
+            self._r._vars, self._mem, frame[None, None], self._active,
+            self._fin, labels[None, None], inew)
+        self._active = np.asarray(act)
+        self._frame_count += 1
         return np.asarray(pred)[0, 0]
 
     @property
