@@ -21,6 +21,9 @@ def main():
     p.add_argument("--task", default="semi-supervised",
                    choices=["semi-supervised", "unsupervised"])
     p.add_argument("--results_path", required=True)
+    p.add_argument("--per_object_csv", action="store_true",
+                   help="also write the per-object per-frame J/F series to "
+                   "per-object_results-<set>.csv")
     args = p.parse_args()
 
     from swem_tpu.eval.benchmark import DavisEvaluation, write_reports
@@ -29,7 +32,8 @@ def main():
     ev = DavisEvaluation(args.davis_path, year=args.year, gt_set=args.set,
                          task=args.task)
     metrics = ev.evaluate(args.results_path)
-    write_reports(metrics, args.results_path, f"DAVIS{args.year[-2:]}")
+    write_reports(metrics, args.results_path, f"DAVIS{args.year[-2:]}",
+                  per_object_csv=args.per_object_csv)
     sys.stdout.write(f"\nTotal time: {time.time() - t0:.1f}s\n")
 
 

@@ -193,8 +193,16 @@ class DavisEvaluation:
 
 
 def write_reports(metrics_res: Dict, save_dir: str, eval_set: str,
-                  logger=None) -> Dict[str, float]:
-    """Global + per-sequence CSVs and stdout tables (basic_evaluator.py:271-328)."""
+                  logger=None, per_object_csv: bool = False) -> Dict[str, float]:
+    """Global + per-sequence CSVs, per-object per-frame log rows, stdout
+    tables (basic_evaluator.py:271-328).
+
+    ``per_object_csv`` additionally writes the per-object per-frame J/F
+    series to ``per-object_results-<set>.csv`` (one row per object per
+    metric); the log rows match the reference's
+    ``Per obj per frame J, <seq>_<obj>:[...]`` lines
+    (basic_evaluator.py:311-316) either way.
+    """
     J, F = metrics_res["J"], metrics_res["F"]
     final_mean = (np.mean(J["M"]) + np.mean(F["M"])) / 2.0
     g_names = ["J&F-Mean", "J-Mean", "J-Recall", "J-Decay", "F-Mean", "F-Recall", "F-Decay"]
@@ -212,6 +220,26 @@ def write_reports(metrics_res: Dict, save_dir: str, eval_set: str,
         w.writerow(["Sequence", "J-Mean", "F-Mean"])
         for name in J["M_per_object"]:
             w.writerow([name, f"{J['M_per_object'][name]:.3f}", f"{F['M_per_object'][name]:.3f}"])
+
+    # per-object per-frame series (basic_evaluator.py:311-316)
+    if logger is not None:
+        for name in J["per_obj_frame"]:
+            logger.info(
+                f"Per obj per frame J, {name}:"
+                f"{np.asarray(J['per_obj_frame'][name]).tolist()}")
+            logger.info(
+                f"Per obj per frame F, {name}:"
+                f"{np.asarray(F['per_obj_frame'][name]).tolist()}")
+    if per_object_csv:
+        path = os.path.join(save_dir, f"per-object_results-{eval_set}.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Object", "Metric", "Frames..."])
+            for name in J["per_obj_frame"]:
+                w.writerow([name, "J"] + [
+                    f"{v:.5f}" for v in np.asarray(J["per_obj_frame"][name])])
+                w.writerow([name, "F"] + [
+                    f"{v:.5f}" for v in np.asarray(F["per_obj_frame"][name])])
 
     table = " ".join(f"{n}: {v:.3f}" for n, v in zip(g_names, g_vals))
     msg = f"--- Global results for {eval_set} ---\n{table}"

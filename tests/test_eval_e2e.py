@@ -71,6 +71,45 @@ class TestMetricStack:
         assert abs(g["J&F-Mean"] - 1.0) < 1e-9
         assert os.path.exists(tmp_path / "out" / "global_results-DAVIS17.csv")
 
+    def test_per_object_per_frame_rows(self, tmp_path):
+        """write_reports logs one 'Per obj per frame' row per object per
+        metric (basic_evaluator.py:311-316) and can write them as a CSV."""
+        import csv
+
+        root = str(tmp_path / "davis")
+        names = build_fake_davis(root)
+        res = str(tmp_path / "results")
+        pal = davis_palette()
+        for name in names:
+            os.makedirs(os.path.join(res, name), exist_ok=True)
+            for t in range(5):
+                save_seg_mask(make_label(t), os.path.join(res, name, f"{t:05d}.png"), pal)
+        metrics = DavisEvaluation(root, year="2017", gt_set="val").evaluate(res)
+
+        class FakeLogger:
+            def __init__(self):
+                self.lines = []
+
+            def info(self, msg):
+                self.lines.append(msg)
+
+        log = FakeLogger()
+        write_reports(metrics, str(tmp_path / "out"), "DAVIS17", logger=log,
+                      per_object_csv=True)
+        j_rows = [l for l in log.lines if l.startswith("Per obj per frame J")]
+        f_rows = [l for l in log.lines if l.startswith("Per obj per frame F")]
+        # 2 videos x 2 objects, one row per object per metric
+        assert len(j_rows) == 4 and len(f_rows) == 4
+        assert any("vid0_1:" in l for l in j_rows)
+        # each row carries the 3 middle frames (first/last excluded)
+        assert all(len(eval(l.split(":", 1)[1])) == 3 for l in j_rows)
+        csv_path = tmp_path / "out" / "per-object_results-DAVIS17.csv"
+        with open(csv_path) as f:
+            rows = list(csv.reader(f))
+        assert len(rows) == 1 + 8  # header + 4 objects x {J, F}
+        assert rows[1][0] == "vid0_1" and rows[1][1] == "J"
+        assert all(abs(float(v) - 1.0) < 1e-9 for v in rows[1][2:])
+
     def test_void_pixels_excluded(self):
         """The reference's void-mask analytic check (test_evaluation.py:118-128)."""
         gt = np.zeros((200, 200))
