@@ -300,6 +300,68 @@ class TestEvaluatorE2E:
         m2 = np.array(Image.open(os.path.join(ev.out_root, name, "00002.png")))
         assert (m2 == 3).sum() > 0
 
+    def test_ytvos_native_resize_path(self, tmp_path_factory):
+        """YTVOS frames ship uint8 at NATIVE size; the /255 + bicubic resize
+        to the /16-divisible inference size fuses into the chunk programs
+        (out_size stays native). 80x80 native -> 64x64 inference."""
+        import json
+
+        from swem_tpu.data.ytvos_test import YTVOSTestSet
+        from swem_tpu.eval.evaluator import Evaluator
+        from swem_tpu.models.swem import SWEM
+
+        root = str(tmp_path_factory.mktemp("ytvos_nat"))
+        pal = davis_palette()
+        rng = np.random.default_rng(3)
+        name = "video0"
+        jdir = os.path.join(root, "JPEGImages", name)
+        adir = os.path.join(root, "Annotations", name)
+        os.makedirs(jdir)
+        os.makedirs(adir)
+        frames = [f"{i:05d}" for i in range(4)]
+        for fn in frames:
+            img = (rng.random((80, 80, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(jdir, fn + ".jpg"))
+        lab0 = np.zeros((80, 80), np.uint8)
+        lab0[10:30, 10:30] = 1
+        save_seg_mask(lab0, os.path.join(adir, "00000.png"), pal)
+        meta = {"videos": {name: {"objects": {
+            "1": {"frames": ["00000", "00002"]},
+        }}}}
+        with open(os.path.join(root, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+        ds = YTVOSTestSet(root, short_size=64, n_slots=4)
+        v = ds[0]
+        assert v.frames.dtype == np.uint8          # native uint8, no host f32
+        assert v.frames.shape[1:3] == (80, 80)     # native resolution
+        assert tuple(v.in_size) == (64, 64)        # /16-divisible short side
+        assert v.original_size == (80, 80)
+
+        model_cfg = ModelConfig(
+            backbone="resnet18", keydim=8, valdim=16, num_bases=4,
+            num_em_iters=2, topl=2, max_objs=4, mdim=16,
+        )
+        cfg = SWEMConfig(
+            model=model_cfg,
+            eval=EvalConfig(eval_set="YTVOS19", data_root=root, max_objs=4,
+                            ssize=64, chunk=2),
+            log_dir=str(tmp_path_factory.mktemp("logs_nat")),
+        )
+        model = SWEM(model_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, 5)),
+        )
+        ev = Evaluator(cfg, variables)
+        fps = ev.evaluate_ytvos()
+        assert fps > 0
+        outs = sorted(os.listdir(os.path.join(ev.out_root, name)))
+        assert outs == ["00000.png", "00002.png"]
+        for png in outs:  # predictions at NATIVE out size
+            m = np.array(Image.open(os.path.join(ev.out_root, name, png)))
+            assert m.shape == (80, 80)
+
     def test_verify_parity_runbook(self, fake_davis, tmp_path_factory, monkeypatch):
         """scripts/verify_parity.py end to end: orbax checkpoint -> eval ->
         CSV -> self-diff gate passes with |diff| = 0."""
