@@ -6,6 +6,10 @@ meters and a CUDA-memory dump, utils/logger.py:131-136).
 from __future__ import annotations
 
 import contextlib
+import glob
+import gzip
+import json
+import os
 from typing import Optional
 
 import jax
@@ -22,6 +26,46 @@ def profile_trace(log_dir: str):
     """
     with jax.profiler.trace(log_dir):
         yield
+
+
+def device_seconds_from_trace(trace_dir: str) -> float:
+    """Total device execution time (seconds) recorded in a jax.profiler
+    trace: the sum of the per-program events on the device's "XLA Modules"
+    lane of the latest ``*.trace.json.gz``.
+
+    The module lane is authoritative for "time the chip spent executing":
+    one event per launched executable, with ``dur`` == device_duration.
+    (The "XLA Ops" lane double-counts nested control flow — a ``while``
+    parent op AND its body fusions both carry the same nanoseconds —
+    verified on the axon backend.) Host lanes, transfers, and idle gaps
+    between launches are excluded, which makes this the tunnel-independent
+    measure of model compute.
+    """
+    paths = glob.glob(os.path.join(trace_dir,
+                                   "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    device_pids = set()
+    module_lanes = set()
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name" and "/device:" in (
+                ev["args"].get("name") or ""):
+            device_pids.add(ev["pid"])
+        if ev.get("name") == "thread_name" and (
+                ev["args"].get("name") == "XLA Modules"):
+            module_lanes.add((ev["pid"], ev.get("tid")))
+    total_us = 0.0
+    for ev in data.get("traceEvents", []):
+        if (ev.get("ph") == "X" and "dur" in ev
+                and ev["pid"] in device_pids
+                and (ev["pid"], ev.get("tid")) in module_lanes):
+            total_us += ev["dur"]
+    return total_us / 1e6
 
 
 def device_memory_stats(device=None) -> Optional[dict]:
