@@ -59,12 +59,61 @@ def parse_trace(trace_dir):
     return by_name, counts, total
 
 
+def map_fusions(hlo_text, names):
+    """Summarize the HLO bodies behind trace fusion/op names.
+
+    The profiler's lane names are the compiled module's instruction names
+    (fusion.68, convolution_add_fusion.3, ...). For each requested name,
+    find its definition line (output shape, fusion kind, called
+    computation) and summarize the called computation's body: convolution/
+    dot lines verbatim (the FLOPs) plus an opcode histogram of the rest.
+    """
+    import re
+
+    # instruction definitions: "  %fusion.68 = shape fusion(...), kind=..., calls=%comp"
+    defs = {}
+    for m in re.finditer(r"^\s*(?:ROOT )?%?([\w.-]+) = ([^\n]+)$", hlo_text, re.M):
+        defs[m.group(1)] = m.group(2)
+    # computation bodies: "%comp (params) -> type {" ... "}"
+    bodies = {}
+    for m in re.finditer(r"^%?([\w.-]+) (?:\([^)]*\) -> [^{]+)?\{", hlo_text, re.M):
+        start = m.end()
+        end = hlo_text.find("\n}", start)
+        bodies[m.group(1)] = hlo_text[start:end]
+    for name in names:
+        d = defs.get(name)
+        print(f"\n== {name} ==")
+        if d is None:
+            print("  (no definition found in HLO text)")
+            continue
+        print(f"  def: {d[:200]}")
+        cm = re.search(r"calls=%?([\w.-]+)", d)
+        body = bodies.get(cm.group(1)) if cm else None
+        if body is None:
+            continue
+        hist = defaultdict(int)
+        for line in body.splitlines():
+            line = line.strip()
+            m2 = re.match(r"(?:ROOT )?%?[\w.-]+ = \S+ ([a-z-]+)\(", line)
+            if not m2:
+                continue
+            op = m2.group(1)
+            if op in ("convolution", "dot"):
+                print(f"  {line[:200]}")
+            hist[op] += 1
+        print("  ops:", dict(sorted(hist.items(), key=lambda kv: -kv[1])))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--trace_dir", default="/tmp/train_trace")
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--map_top", type=int, default=0,
+                   help="also lower+compile the step and print the HLO "
+                        "bodies of the top-N trace entries (what the "
+                        "fusion.NN names actually compute)")
     args = p.parse_args()
 
     from swem_tpu.config import (LossConfig, ModelConfig, SolverConfig,
@@ -110,9 +159,16 @@ def main():
     per_step = total / args.steps / 1e3
     print(f"\ndevice total: {per_step:.1f} ms/step over {args.steps} steps")
     print(f"{'ms/step':>9} {'%':>5} {'n':>5}  name")
-    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
+    ranked = sorted(by_name.items(), key=lambda kv: -kv[1])
+    for name, dur in ranked[: args.top]:
         print(f"{dur / args.steps / 1e3:9.3f} {100 * dur / total:5.1f} "
               f"{counts[name] // args.steps:5d}  {name[:110]}")
+
+    if args.map_top:
+        print("\nlowering + compiling for HLO mapping ...", flush=True)
+        hlo = step.lower(state, batch, key).compile().as_text()
+        names = [n for n, _ in ranked if not n.startswith("jit_")]
+        map_fusions(hlo, names[: args.map_top])
 
 
 if __name__ == "__main__":

@@ -334,6 +334,42 @@ def _perm_inv_feat(exp_aff: jnp.ndarray, topl: int) -> jnp.ndarray:
     return jnp.concatenate([ratio, 1.0 - ratio], axis=-1)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _topk_vals(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """``lax.top_k`` values with a fused-reduce backward.
+
+    top_k's built-in transpose is a scatter of the cotangents into the
+    selected positions; XLA lowers that scatter to a serialized kCustom
+    fusion costing ~10.3 ms PER CALL at the flagship train shape
+    (rows 8·2·2·576, Lm 256 — two calls = 15% of the whole step,
+    scripts/train_profile.py --map_top). The selected indices are unique
+    per row, so the same gradient is exactly ``grad[..., i] = sum_j
+    g[..., j] * (idx[..., j] == i)`` — a broadcast compare+select+reduce
+    that XLA fuses to memory-bound passes over the inputs/output only
+    (no (..., Lm, k) materialization): sub-ms instead of 10.3.
+    """
+    return jax.lax.top_k(x, k)[0]
+
+
+def _topk_vals_fwd(x, k):
+    vals, idx = jax.lax.top_k(x, k)
+    return vals, (idx, x.shape[-1])
+
+
+def _topk_vals_bwd(k, res, g):
+    idx, n = res
+    iota = jnp.arange(n, dtype=idx.dtype)  # (n,)
+    out = jnp.sum(
+        jnp.where(idx[..., None, :] == iota[:, None],
+                  g[..., None, :], jnp.zeros((), g.dtype)),
+        axis=-1,
+    )  # (..., n)
+    return (out,)
+
+
+_topk_vals.defvjp(_topk_vals_fwd, _topk_vals_bwd)
+
+
 def _perm_inv_feat_sorted(exp_aff: jnp.ndarray, topl: int) -> jnp.ndarray:
     """``_perm_inv_feat`` via ``lax.top_k`` — for the differentiated path.
 
@@ -341,13 +377,17 @@ def _perm_inv_feat_sorted(exp_aff: jnp.ndarray, topl: int) -> jnp.ndarray:
     the same sequence either way, ties included), but O(1) memory passes
     instead of the scan's ``topl`` round trips: at the flagship train shape
     the scan's 64-iteration loop runs in fwd AND transposed bwd per
-    supervised frame, while top_k's backward is a single gather. Measured
-    (v5e, bs8 384² bf16, scripts/train_bench.py): 164.6 -> 154.5 ms/step.
-    Forward-only eval keeps the scan variant (measured 17x faster there —
-    the variadic sort loses on the much larger eval P with B=1).
+    supervised frame, while top_k's backward is one unique-index scatter —
+    expressed as a fused compare+reduce (``_topk_vals``), since XLA's
+    scatter lowering for top_k's transpose is ~10 ms per frame. Measured
+    (v5e, bs8 384² bf16, scripts/train_bench.py): 164.6 -> 154.5 ms/step
+    for sort-vs-scan (round 3), then 137.6 -> 116.5 for the custom-vjp
+    backward (round 4). Forward-only eval keeps the scan variant (measured
+    17x faster there — the variadic sort loses on the much larger eval P
+    with B=1).
     """
     x = jnp.swapaxes(exp_aff, -2, -1)  # (B, N, 2, P, Lm): Lm minor for sort
-    tops, _ = jax.lax.top_k(x, topl)  # descending values (B, N, 2, P, topl)
+    tops = _topk_vals(x, topl)  # descending values (B, N, 2, P, topl)
     feat = jnp.cumsum(tops, axis=-1)
     bg, fg = feat[:, :, 0], feat[:, :, 1]  # branch 0 = bg (swem.py:80-84)
     ratio = bg / (bg + fg + 1e-30)  # (B, N, P, topl)

@@ -69,7 +69,7 @@ def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng,
     to itself under grad, so the backward towers shard identically).
 
     ``remat``: jax.checkpoint granularity — False (save all activations,
-    fastest: 137.8 ms/step at bs8 384² bf16 on the v5e), 'encoder' (remat
+    fastest: 116.5 ms/step at bs8 384² bf16 on the v5e), 'encoder' (remat
     the key-trunk encode: +4% step time, -40% peak temp HBM at bs8 / -57%
     at bs12 — the capacity knob for bigger batches/resolutions), or
     True/'block' (whole frame block: measured strictly worse than
