@@ -29,6 +29,19 @@ Round-3 reading on the v5e dev chip (2026-08-18):
         bound — batching does not recover the gap.
     train_step_bs8_384: 10.4 TFLOP/step, AI 118 -> memory-bound;
         57.4 TFLOP/s = 29% MXU, 488 GB/s = 60% HBM (60% of its roofline).
+        CAVEAT (fixed round 4): that reading timed with a per-step sync
+        and no donation — ~182 ms/step against train_bench's 137.6 at the
+        same commit, so the true round-3 utilization was ~75%.
+
+Round-4 reading (2026-08-19), after the top-l custom-vjp backward fix
+(em.py::_topk_vals, 137.6 -> 116.5 ms in scripts/train_bench.py):
+
+    train_step_bs8_384 at 116.5 ms: 10.44 TFLOP / 88.23 GB per step ->
+        89.6 TFLOP/s = 45.5% MXU, 757 GB/s = 92.5% HBM. The step is
+        memory-bound (AI 118 vs ridge 240) and now runs at ~92.5% of its
+        memory roofline — closed: the residual 7.5% is the flat sub-ms
+        fusion tail at shape-determined efficiency (train_profile.py
+        --map_top shows no op above 2.4 ms).
 """
 
 from __future__ import annotations
@@ -192,19 +205,25 @@ def main():
         }
         state = create_train_state(model, jax.random.PRNGKey(0), tx,
                                    batch["frames"][:, 0], batch["masks"][:, 0])
-        step_fn = jax.jit(make_train_step(model, tcfg, tx))
+        # donate like the production loop (train/loop.py); measure like
+        # train_bench: K pipelined dispatches, ONE final sync — a per-step
+        # sync pays the ~25-40 ms tunnel round-trip each step on this dev
+        # box and inflated the round-3 reading to ~182 ms (vs 137.6 real).
+        step_fn = jax.jit(make_train_step(model, tcfg, tx),
+                          donate_argnums=(0,))
         tf_, tb_ = cost_of(step_fn, state, batch, jax.random.PRNGKey(1))
         if args.train_ms:
             sec = args.train_ms / 1e3
         else:
-            new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
             _ = float(np.asarray(metrics["total_loss"]))
+            K = 10
             t0 = time.perf_counter()
-            for i in range(3):
-                new_state, metrics = step_fn(new_state, batch,
-                                             jax.random.PRNGKey(2 + i))
-                _ = float(np.asarray(metrics["total_loss"]))
-            sec = (time.perf_counter() - t0) / 3
+            for i in range(K):
+                state, metrics = step_fn(state, batch,
+                                         jax.random.PRNGKey(2 + i))
+            _ = float(np.asarray(metrics["total_loss"]))
+            sec = (time.perf_counter() - t0) / K
         print(json.dumps({"train_ms_per_step": round(sec * 1e3, 1)}))
         report("train_step_bs8_384", tf_, tb_, sec, peak_tf, peak_bw)
 
