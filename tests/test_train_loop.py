@@ -2,6 +2,7 @@
 checkpoints -> exact resume (basic_trainer.py:192-307 semantics)."""
 
 import os
+import signal
 
 import numpy as np
 import pytest
@@ -37,8 +38,8 @@ def loop_cfg(data_root, log_dir, **kw):
                         davis_samples_per_video=2),
         solver=SolverConfig(stage=1, davis_iters=(3, 6)),
         loss=LossConfig(bs_period=(1000, 2000)),
-        log_dir=log_dir, log_period=2, save_period=3, vis_period=2,
-        exp_name="looptest", **kw,
+        log_dir=log_dir, exp_name="looptest",
+        **{"log_period": 2, "save_period": 3, "vis_period": 2, **kw},
     )
 
 
@@ -81,3 +82,45 @@ def test_trainer_loop_and_resume(data_root, tmp_path_factory):
                     from_scratch=True)
     trainer3 = Trainer(cfg3)
     assert int(jax.device_get(trainer3.state.step)) == 0
+
+
+def test_preemption_sigterm_checkpoints_and_resumes(data_root,
+                                                    tmp_path_factory):
+    """SIGTERM mid-run (the preemptible-TPU-VM / scheduler eviction signal)
+    checkpoints at the next step boundary and exits cleanly; --resume then
+    continues from exactly that iteration. The reference would lose the
+    work since its last SAVE_PERIOD multiple (basic_trainer.py:300-303)."""
+    from swem_tpu.train.loop import Trainer
+
+    log_dir = str(tmp_path_factory.mktemp("logs_preempt"))
+    # save_period > max_iter: the ONLY checkpoint can come from preemption
+    trainer = Trainer(loop_cfg(data_root, log_dir, save_period=100))
+    real_step = trainer.train_step
+    calls = []
+
+    def step_with_preemption(state, batch, rng):
+        calls.append(1)
+        if len(calls) == 2:
+            # delivered to the main thread before the loop's boundary check
+            os.kill(os.getpid(), signal.SIGTERM)
+        return real_step(state, batch, rng)
+
+    trainer.train_step = step_with_preemption
+    orig_handler = signal.getsignal(signal.SIGTERM)
+    state = trainer.train()
+    assert len(calls) == 2  # stopped at the boundary, not at max_iter=6
+    assert int(jax.device_get(state.step)) == 2
+    assert trainer._preempt_signum == signal.SIGTERM
+    # the loop restored the previous SIGTERM disposition on exit
+    assert signal.getsignal(signal.SIGTERM) is orig_handler
+
+    exp_dir = os.path.join(log_dir, "SWEM", "S1", "looptest")
+    ckpt = os.path.join(exp_dir, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt, "state"))
+
+    # resume picks up at iteration 2 and finishes the remaining 4
+    trainer2 = Trainer(loop_cfg(data_root, log_dir, save_period=100,
+                                resume=ckpt, from_scratch=False))
+    assert int(jax.device_get(trainer2.state.step)) == 2
+    state2 = trainer2.train()
+    assert int(jax.device_get(state2.step)) == 6
