@@ -38,6 +38,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -145,10 +146,14 @@ def bench_runner(model, variables, cfg, Ho, Wo):
         with jax.profiler.trace(trace_dir):
             preds = runner(variables, key, frames, jnp.asarray(init_mask),
                            jnp.asarray(active))
-        device_fps = T / device_seconds_from_trace(trace_dir)
+        device_fps = float(T / device_seconds_from_trace(trace_dir))
+    except Exception as e:  # noqa: BLE001 — a bad/renamed/truncated trace
+        # must not lose the wall-clock numbers measured above
+        print(f"runner_device_fps unavailable: {e}", file=sys.stderr)
+        device_fps = None
     finally:
         shutil.rmtree(trace_dir, ignore_errors=True)
-    return float(np.median(fps_runs)), float(device_fps)
+    return float(np.median(fps_runs)), device_fps
 
 
 def main():
@@ -169,15 +174,17 @@ def main():
     runner_fps, runner_device_fps = bench_runner(model, variables, cfg, Ho, Wo)
 
     baseline_fps = 36.0  # SWEM paper, 480p on V100
-    print(json.dumps({
+    out = {
         "metric": "swem_480p_inference_fps",
         "value": round(scan_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(scan_fps / baseline_fps, 3),
         "scan_fps": round(scan_fps, 2),
         "runner_fps": round(runner_fps, 2),
-        "runner_device_fps": round(runner_device_fps, 2),
-    }))
+    }
+    if runner_device_fps is not None:
+        out["runner_device_fps"] = round(runner_device_fps, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -12,9 +12,6 @@ Run:  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/train_profile.py
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
 from collections import defaultdict
@@ -30,12 +27,9 @@ from train_bench import make_host_batch  # noqa: E402 (scripts/ sibling)
 
 
 def parse_trace(trace_dir):
-    paths = glob.glob(os.path.join(
-        trace_dir, "plugins/profile/*/*.trace.json.gz"))
-    assert paths, f"no trace under {trace_dir}"
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        data = json.load(f)
+    from swem_tpu.utils.profiling import load_latest_trace
+
+    data = load_latest_trace(trace_dir)
     by_name = defaultdict(float)
     counts = defaultdict(int)
     total = 0.0
@@ -74,11 +68,15 @@ def map_fusions(hlo_text, names):
     defs = {}
     for m in re.finditer(r"^\s*(?:ROOT )?%?([\w.-]+) = ([^\n]+)$", hlo_text, re.M):
         defs[m.group(1)] = m.group(2)
-    # computation bodies: "%comp (params) -> type {" ... "}"
+    # computation bodies: "%comp (params) -> type {" ... "}"; params may be
+    # tuple-typed (nested parens), so anchor on the " -> " arrow instead of
+    # a paren-free parameter list
     bodies = {}
-    for m in re.finditer(r"^%?([\w.-]+) (?:\([^)]*\) -> [^{]+)?\{", hlo_text, re.M):
+    for m in re.finditer(r"^%?([\w.-]+) \(.*\) -> .+\{$", hlo_text, re.M):
         start = m.end()
         end = hlo_text.find("\n}", start)
+        if end == -1:  # last computation in the module: no further "\n}"
+            end = len(hlo_text)
         bodies[m.group(1)] = hlo_text[start:end]
     for name in names:
         d = defs.get(name)

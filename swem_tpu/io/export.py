@@ -374,9 +374,8 @@ class ExportedSession:
                   np.arange(self.n_slots + 1)).astype(np.float32)
         active = np.zeros((1, self.n_slots), bool)
         present = np.unique(labels)
-        for obj in present[present > 0]:
-            if obj <= self.n_slots:
-                active[0, obj - 1] = True
+        for obj in present[present > 0]:  # post-clip: every id <= n_slots
+            active[0, obj - 1] = True
         self._active = active
         self._mem = self._r._init(
             self._r._vars, frame0[None], onehot[None], active)

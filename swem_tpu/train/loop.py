@@ -183,7 +183,9 @@ class Trainer:
         handlers = {}
 
         def _on_signal(signum, frame):
-            if self._preempt_signum is not None and signum == signal.SIGINT:
+            # only a SECOND Ctrl-C force-interrupts; a single SIGINT after a
+            # scheduler SIGTERM must still take the graceful-checkpoint path
+            if self._preempt_signum == signal.SIGINT and signum == signal.SIGINT:
                 for s, h in handlers.items():
                     signal.signal(s, h)
                 raise KeyboardInterrupt
@@ -233,8 +235,23 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, batch, rng)
                 pending.append(metrics)
                 it += 1
-                if it < self.max_iter:
+                # check the flag BEFORE the blocking prefetch and the
+                # (first-call jit-compiling) log/vis work: the preemption
+                # grace period (often ~30 s) must cover only the in-flight
+                # step plus the checkpoint write
+                preempted = self._preempt_signum is not None
+                if not preempted and it < self.max_iter:
                     nxt = next_sharded()
+                    # the signal may land during the host-bound fetch
+                    preempted = self._preempt_signum is not None
+                if preempted:
+                    self.logger.info(
+                        f"Signal {signal.Signals(self._preempt_signum).name} "
+                        f"received: checkpointing at iteration {it} and "
+                        f"stopping (resume with --resume to continue)"
+                    )
+                    self.save(it)
+                    break
                 if it % cfg.log_period == 0 or it == self.max_iter:
                     fetched = jax.device_get(pending)
                     pending.clear()
@@ -266,14 +283,6 @@ class Trainer:
                     # globally-sharded batch would be a collective that only
                     # process 0 enters
                     self._log_overlays(batch, rng, it)
-                if self._preempt_signum is not None:
-                    self.logger.info(
-                        f"Signal {signal.Signals(self._preempt_signum).name} "
-                        f"received: checkpointing at iteration {it} and "
-                        f"stopping (resume with --resume to continue)"
-                    )
-                    self.save(it)
-                    break
                 if it % cfg.save_period == 0 or it == self.max_iter:
                     self.save(it)
         finally:

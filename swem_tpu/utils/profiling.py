@@ -28,6 +28,19 @@ def profile_trace(log_dir: str):
         yield
 
 
+def load_latest_trace(trace_dir: str) -> dict:
+    """Load the newest ``*.trace.json.gz`` under a jax.profiler trace dir
+    (the CLAUDE.md axon recipe). Shared by every trace consumer so the
+    plugin's file layout is encoded exactly once."""
+    paths = glob.glob(os.path.join(trace_dir,
+                                   "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        return json.load(f)
+
+
 def device_seconds_from_trace(trace_dir: str) -> float:
     """Total device execution time (seconds) recorded in a jax.profiler
     trace: the sum of the per-program events on the device's "XLA Modules"
@@ -40,14 +53,12 @@ def device_seconds_from_trace(trace_dir: str) -> float:
     verified on the axon backend.) Host lanes, transfers, and idle gaps
     between launches are excluded, which makes this the tunnel-independent
     measure of model compute.
+
+    Raises RuntimeError when the trace contains no matching events (a
+    renamed lane, a truncated trace) instead of returning 0 — callers
+    divide by this.
     """
-    paths = glob.glob(os.path.join(trace_dir,
-                                   "plugins/profile/*/*.trace.json.gz"))
-    if not paths:
-        raise FileNotFoundError(f"no trace under {trace_dir}")
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        data = json.load(f)
+    data = load_latest_trace(trace_dir)
     device_pids = set()
     module_lanes = set()
     for ev in data.get("traceEvents", []):
@@ -65,6 +76,11 @@ def device_seconds_from_trace(trace_dir: str) -> float:
                 and ev["pid"] in device_pids
                 and (ev["pid"], ev.get("tid")) in module_lanes):
             total_us += ev["dur"]
+    if total_us == 0.0:
+        raise RuntimeError(
+            "trace has no events on a device 'XLA Modules' lane "
+            f"(device pids={sorted(device_pids)}, module lanes="
+            f"{sorted(module_lanes)}) — renamed lane or truncated trace?")
     return total_us / 1e6
 
 
