@@ -84,6 +84,33 @@ def test_trainer_loop_and_resume(data_root, tmp_path_factory):
     assert int(jax.device_get(trainer3.state.step)) == 0
 
 
+def test_preemption_signal_contract():
+    """A single Ctrl-C after a scheduler SIGTERM keeps the graceful
+    checkpoint path; only a SECOND SIGINT force-interrupts (the documented
+    'Ctrl-C twice' contract)."""
+    import types
+
+    import pytest as _pytest
+
+    from swem_tpu.train.loop import Trainer
+
+    ns = types.SimpleNamespace()
+    handlers = Trainer._install_preemption_handlers(ns)
+    try:
+        h = signal.getsignal(signal.SIGTERM)
+        h(signal.SIGTERM, None)  # scheduler preemption lands first
+        assert ns._preempt_signum == signal.SIGTERM
+        h(signal.SIGINT, None)  # one Ctrl-C: still graceful
+        assert ns._preempt_signum == signal.SIGINT
+        with _pytest.raises(KeyboardInterrupt):  # second Ctrl-C: abort
+            h(signal.SIGINT, None)
+        # the force-interrupt path restored the pre-install dispositions
+        assert signal.getsignal(signal.SIGINT) is handlers[signal.SIGINT]
+    finally:
+        for s, old in handlers.items():
+            signal.signal(s, old)
+
+
 def test_preemption_sigterm_checkpoints_and_resumes(data_root,
                                                     tmp_path_factory):
     """SIGTERM mid-run (the preemptible-TPU-VM / scheduler eviction signal)
