@@ -144,10 +144,10 @@ class StaticAugPipeline:
             im = T.apply_crop_padded(im, crop, self.crop_size, T.IM_MEAN)
             gt = T.apply_crop_padded(gt, crop, self.crop_size, 0)
             im = T.apply_color_jitter(im, T.sample_color_jitter(rng, 0.1, 0.05, 0.05, 0.0))
-            im_np = np.asarray(im, np.float32) / 255.0
-            gt_np = np.asarray(gt, np.uint8)
-            im_np, gt_np = self.tps(rng, im_np, gt_np)
-            out_imgs.append(im_np)
+            # TPS in uint8 (2x faster remap, one float conversion total)
+            im_np, gt_np = self.tps(rng, np.asarray(im, np.uint8),
+                                    np.asarray(gt, np.uint8))
+            out_imgs.append(im_np.astype(np.float32) / 255.0)
             out_masks.append(gt_np)
         return out_imgs, out_masks
 

@@ -63,24 +63,19 @@ def _eval_basis(size: Tuple[int, int], anchors: Tuple[int, int]):
     return basis.astype(np.float32)
 
 
-def tps_sample_grid(
+def _tps_coeffs(
     rng: np.random.Generator,
-    size: Tuple[int, int],
-    margin_rate: float = 0.25,
-    anchors: Tuple[int, int] = (4, 4),
+    margin_rate: float,
+    anchors: Tuple[int, int],
 ) -> np.ndarray:
-    """Sample a TPS warp and return the (H, W, 2) source grid in [-1, 1].
+    """Solve one sampled warp's spline coefficients, (3+k, 2) float32.
 
     The spline interpolates the uniform control grid X to the jittered grid
-    Y; evaluating it on the dense output lattice yields per-output-pixel
-    source coordinates (grid_sample convention).
-    """
-    h, w = size
+    Y (batch.py:69-89)."""
     ny, nx = anchors
     X = _grid_points_2d(nx, ny)  # (k, 2)
     Y = _noisy_grid(rng, nx, ny, margin_rate)
     k = X.shape[0]
-    # L @ Q = Z  (batch.py:69-89)
     P = np.concatenate([np.ones((k, 1)), X], axis=1)  # (k, 3)
     L = np.zeros((k + 3, k + 3))
     L[:k, :k] = _k_matrix(X, X)
@@ -90,10 +85,46 @@ def tps_sample_grid(
     Z[:k] = Y
     Q = np.linalg.solve(L, Z)
     W_, A = Q[:k], Q[k:]
-    # dense evaluation via the cached [P_eval | K] basis (batch.py:115-133)
-    coeffs = np.concatenate([A, W_], axis=0).astype(np.float32)  # (3+k, 2)
-    grid = _eval_basis((h, w), (ny, nx)) @ coeffs
+    return np.concatenate([A, W_], axis=0).astype(np.float32)  # (3+k, 2)
+
+
+def tps_sample_grid(
+    rng: np.random.Generator,
+    size: Tuple[int, int],
+    margin_rate: float = 0.25,
+    anchors: Tuple[int, int] = (4, 4),
+) -> np.ndarray:
+    """Sample a TPS warp and return the (H, W, 2) source grid in [-1, 1].
+
+    Evaluating the spline on the dense output lattice yields per-output-
+    pixel source coordinates (grid_sample convention); the dense basis is
+    cached per (size, anchors) (batch.py:115-133).
+    """
+    h, w = size
+    grid = _eval_basis((h, w), anchors) @ _tps_coeffs(rng, margin_rate, anchors)
     return grid.reshape(h, w, 2)
+
+
+def tps_sample_maps(
+    rng: np.random.Generator,
+    size: Tuple[int, int],
+    margin_rate: float = 0.25,
+    anchors: Tuple[int, int] = (4, 4),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample a warp and return cv2.remap pixel maps directly.
+
+    The [-1,1] -> pixel affine of grid_to_maps folds into the spline
+    coefficients (the basis carries a ones column, so the offset lands on
+    the constant term) — same maps as grid_to_maps(tps_sample_grid(...))
+    without two extra full-frame passes.
+    """
+    h, w = size
+    coeffs = _tps_coeffs(rng, margin_rate, anchors).copy()
+    scale = np.array([w / 2.0, h / 2.0], np.float32)
+    coeffs *= scale
+    coeffs[0] += scale - 0.5
+    maps = _eval_basis((h, w), anchors) @ coeffs
+    return maps[:, 0].reshape(h, w), maps[:, 1].reshape(h, w)
 
 
 def grid_to_maps(grid: np.ndarray, size: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
@@ -129,7 +160,10 @@ class JointRandomTPS:
         """img: (H, W, 3) float; mask: (H, W) int/float. Returns warped pair."""
         if rng.random() >= self.p:
             return img, mask
-        grid = tps_sample_grid(rng, img.shape[:2], self.margin_rate, self.anchors)
-        wimg = warp_image(img, grid, "bilinear")
-        wmask = warp_image(mask, grid, "nearest")
+        map_x, map_y = tps_sample_maps(rng, img.shape[:2],
+                                       self.margin_rate, self.anchors)
+        wimg = cv2.remap(img, map_x, map_y, cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        wmask = cv2.remap(mask, map_x, map_y, cv2.INTER_NEAREST,
+                          borderMode=cv2.BORDER_CONSTANT, borderValue=0)
         return wimg, wmask

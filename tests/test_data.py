@@ -82,6 +82,41 @@ class TestTransforms:
         out = T.apply_color_jitter(img, p)
         assert out.size == img.size and out.mode == "RGB"
 
+    def test_color_jitter_bitexact_vs_pil_enhance(self, rng):
+        """The cv2/numpy jitter must reproduce the PIL ImageEnhance chain
+        (what torchvision ColorJitter runs on PIL inputs —
+        video_dataset.py:148-152) bit-for-bit, including Blend.c's
+        truncation and convert("L")'s fixed-point grayscale."""
+        from PIL import ImageEnhance
+
+        enh = {"brightness": ImageEnhance.Brightness,
+               "contrast": ImageEnhance.Contrast,
+               "saturation": ImageEnhance.Color}
+        for _ in range(10):
+            p = T.sample_color_jitter(rng, 0.3, 0.3, 0.3, 0.0)
+            img = Image.fromarray(
+                rng.integers(0, 256, (41, 67, 3), dtype=np.uint8), "RGB")
+            ref = img
+            for name, factor in p.ops:
+                ref = enh[name](ref).enhance(factor)
+            out = T.apply_color_jitter(img, p)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_affine_matches_pil_geometry(self, rng):
+        """cv2.warpAffine with the rebased inverse matrix must land on
+        PIL.transform(AFFINE)'s geometry: nearest-warped masks may differ
+        only on a sliver of rounding-tie pixels, never shift."""
+        for _ in range(5):
+            p = T.sample_affine(rng, degrees=15.0, shear=10.0)
+            lab = rng.integers(0, 4, (61, 83)).astype(np.uint8)
+            mask = Image.fromarray(lab, "P")
+            m = T._inverse_affine_matrix(p, (83 * 0.5, 61 * 0.5))
+            ref = mask.transform(mask.size, Image.AFFINE, m,
+                                 resample=Image.NEAREST, fillcolor=0)
+            out = T.apply_affine(mask, p, Image.NEAREST, 0)
+            mismatch = (np.asarray(ref) != np.asarray(out)).mean()
+            assert mismatch < 0.005, mismatch
+
 
 class TestFrameSelection:
     def test_skipper_schedule(self):
