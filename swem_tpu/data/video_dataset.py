@@ -122,11 +122,11 @@ class VideoAugPipeline:
             im = T.apply_affine(im, aff, Image.BICUBIC, T.IM_MEAN)
             gt = T.apply_affine(gt, aff, Image.NEAREST, 0)
             im = T.apply_color_jitter(im, pair_jitter)
-            # TPS: warp in uint8 (2x faster remap, one float conversion
-            # total), normalize to [0,1] after
+            # TPS: warp in uint8 (2x faster remap); frames stay uint8 all
+            # the way to the device, which normalizes to [0,1] in-graph
             im_np, gt_np = self.tps(rng, np.asarray(im, np.uint8),
                                     np.asarray(gt, np.uint8))
-            out_imgs.append(im_np.astype(np.float32) / 255.0)
+            out_imgs.append(im_np)
             out_masks.append(gt_np)
         return out_imgs, out_masks
 
@@ -145,22 +145,20 @@ def finalize_sample(
     nobj = min(max_objs, len(labels))
     selected = rng.choice(labels, nobj, replace=False)
     mstack = np.stack(masks)  # (T, H, W)
-    # build the slot-index label map once, derive one-hot and label from it
-    # (one compare pass instead of per-channel stacks + argmax); unselected
-    # and void (255) pixels stay slot 0 = background, matching
-    # video_dataset.py:338-339
+    # build the slot-index label map once; unselected and void (255) pixels
+    # stay slot 0 = background, matching video_dataset.py:338-339. The batch
+    # ships compact (uint8 frames + uint8 labels, 8x fewer H2D bytes than
+    # f32 frames + f32 one-hot); the train step derives the frame-0 one-hot
+    # and the [0,1] normalization in-graph (trainer._model_inputs).
     lab = np.zeros(mstack.shape, np.uint8)
     for i, l in enumerate(selected):
         lab[mstack == l] = i + 1
-    onehot = (lab[..., None] ==
-              np.arange(max_objs + 1, dtype=np.uint8)).astype(np.float32)
     valid = np.zeros(max_objs + 1, np.float32)
     valid[: nobj + 1] = 1.0
     return {
-        "frames": np.stack(images).astype(np.float32, copy=False),
-        "masks": onehot,
+        "frames": np.stack(images),  # (T, H, W, 3) uint8
         "valid_obj": valid,
-        "label": lab.astype(np.int32),
+        "label": lab,  # (T, H, W) uint8
     }
 
 
@@ -229,16 +227,13 @@ class VideoTrainDataset:
                 return out
         # all-background fallback (video_dataset.py:320-323)
         T_, H, W = len(aimgs), *aimgs[0].shape[:2]
-        onehot = np.zeros((T_, H, W, self.max_objs + 1), np.float32)
-        onehot[..., 0] = 1.0
         # the reference marks one (empty) fg channel valid so the sample
         # still trains the decoder toward all-background (selector=[1,1,0])
         valid = np.zeros(self.max_objs + 1, np.float32)
         valid[:2] = 1.0
         return {
-            "frames": np.stack(aimgs).astype(np.float32),
-            "masks": onehot,
+            "frames": np.stack(aimgs),
             "valid_obj": valid,
-            "label": np.zeros((T_, H, W), np.int32),
+            "label": np.zeros((T_, H, W), np.uint8),
             "skips": np.float32(skips),
         }

@@ -312,7 +312,10 @@ class Trainer:
         b = 0
         panels = []
         for t in range(preds.shape[1]):
-            img = (np.clip(frames[b, t + 1], 0, 1) * 255).astype(np.uint8)
+            if frames.dtype == np.uint8:
+                img = frames[b, t + 1]
+            else:
+                img = (np.clip(frames[b, t + 1], 0, 1) * 255).astype(np.uint8)
             panels.append(add_overlay(img[..., ::-1], preds[b, t], pal)[..., ::-1])
             panels.append(add_overlay(img[..., ::-1], labels[b, t + 1], pal)[..., ::-1])
         grid = np.concatenate(panels, axis=1)  # side-by-side pred|gt per frame

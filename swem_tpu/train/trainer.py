@@ -10,10 +10,12 @@ jit-compiled once. Data parallelism comes from sharding the batch over a
 equivalent of swem_trainer.py:42-43).
 
 Batch layout (all channel-last):
-  frames:    (B, T, H, W, 3) float in [0, 1]
-  masks:     (B, T, H, W, N+1) one-hot ground truth (frame 0 seeds the memory)
-  label:     (B, T, H, W) int32 argmax labels for all frames
+  frames:    (B, T, H, W, 3) uint8, or float already in [0, 1]
+  label:     (B, T, H, W) integer slot labels for all frames
   valid_obj: (B, N+1) float {0,1} validity incl. background channel
+  masks:     optional (B, T, H, W, N+1) one-hot ground truth — derived
+             in-graph from ``label`` when absent (the production loader
+             ships the compact uint8 form; see _model_inputs)
 """
 
 from __future__ import annotations
@@ -56,6 +58,29 @@ def create_train_state(model: SWEM, rng: jax.Array, tx, sample_frame, sample_mas
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
     )
+
+
+def _model_inputs(batch: Dict[str, jnp.ndarray], n_slots: int):
+    """Decompress a (possibly compact) batch into model inputs, in-graph.
+
+    The loader ships uint8 frames and uint8 labels (8x fewer H2D bytes than
+    f32 frames + f32 one-hot, and no host-side float conversion — the
+    reference pays both on every batch, video_dataset.py:330-346); the
+    [0,1] normalization and the frame-0 one-hot are derived here so XLA
+    fuses them into the first consumers. f32 frames and an explicit
+    "masks" key (hand-built test/script batches) pass through unchanged —
+    uint8/255 in f32 is bit-identical to the host conversion it replaces.
+    """
+    frames = batch["frames"]
+    if frames.dtype == jnp.uint8:
+        frames = frames.astype(jnp.float32) / 255.0
+    label = batch["label"].astype(jnp.int32)
+    if "masks" in batch:
+        init_mask = batch["masks"][:, 0]
+    else:
+        init_mask = (label[:, 0, ..., None]
+                     == jnp.arange(n_slots, dtype=jnp.int32)).astype(jnp.float32)
+    return frames, init_mask, label
 
 
 def _unrolled_forward(model: SWEM, variables, frames, init_mask, valid_obj, rng,
@@ -178,14 +203,16 @@ def make_train_step(model: SWEM, cfg: SWEMConfig, tx, sharding=None,
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         mem_rng = jax.random.fold_in(rng, state.step)
 
+        frames, init_mask, label = _model_inputs(batch, model.cfg.max_objs + 1)
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits = _unrolled_forward(
-                model, variables, batch["frames"], batch["masks"][:, 0],
+                model, variables, frames, init_mask,
                 batch["valid_obj"], mem_rng, sharding=sharding, remat=remat,
             )
             losses = criterion(
-                logits, batch["label"][:, 1:], state.step, batch["valid_obj"]
+                logits, label[:, 1:], state.step, batch["valid_obj"]
             )
             return losses["total_loss"], losses
 
@@ -209,9 +236,9 @@ def make_predict_batch(model: SWEM, cfg: SWEMConfig) -> Callable:
 
     def predict(state: TrainState, batch, rng):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        frames, init_mask, _ = _model_inputs(batch, model.cfg.max_objs + 1)
         logits = _unrolled_forward(
-            model, variables, batch["frames"], batch["masks"][:, 0],
-            batch["valid_obj"], rng,
+            model, variables, frames, init_mask, batch["valid_obj"], rng,
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)  # (B, T-1, H, W)
 

@@ -163,13 +163,14 @@ class TestVideoDataset:
         ds = VideoTrainDataset("DAVIS17", str(tmp_path), num_frames=3,
                                max_objs=2, crop_size=(64, 64), max_iter=1000)
         out = ds.sample(rng, 0, cur_iter=500)
+        # compact contract: uint8 frames + uint8 slot labels; the one-hot
+        # and [0,1] normalization are derived in-graph (trainer._model_inputs)
         assert out["frames"].shape == (3, 64, 64, 3)
-        assert out["masks"].shape == (3, 64, 64, 3)
+        assert out["frames"].dtype == np.uint8
         assert out["label"].shape == (3, 64, 64)
+        assert out["label"].dtype == np.uint8
+        assert out["label"].max() <= 2
         assert out["valid_obj"].shape == (3,)
-        assert 0.0 <= out["frames"].min() and out["frames"].max() <= 1.0
-        # one-hot consistency
-        np.testing.assert_allclose(out["masks"].sum(-1), 1.0)
 
 
 class TestStaticDataset:
@@ -194,7 +195,8 @@ class TestStaticDataset:
                                 num_frames=3, max_objs=2, crop_size=(64, 64))
         out = ds.sample(rng, 0)
         assert out["frames"].shape == (3, 64, 64, 3)
-        assert out["masks"].shape == (3, 64, 64, 3)
+        assert out["frames"].dtype == np.uint8
+        assert out["label"].shape == (3, 64, 64)
         assert out["valid_obj"][0] == 1.0
 
     def test_synthesis_frames_multiobject(self, rng):

@@ -71,7 +71,7 @@ class TestFactory:
         ds = build_dataset_factory(make_cfg(roots, 2))()
         assert len(ds) == 2  # 2 videos x 1 sample each
         out = ds.sample(np.random.default_rng(0), 1, 10)
-        assert out["masks"].shape == (3, 32, 32, 3)
+        assert out["label"].shape == (3, 32, 32)
 
     def test_stage3_concat(self, roots):
         """Stage 3 = DAVIS x DATA_FREQ + YTVOS (datasets/__init__.py:29-38)."""

@@ -109,6 +109,47 @@ class TestTrainStep:
         assert diffs.max() < 3 * lr
         assert np.quantile(diffs, 0.99) < 1e-5
 
+    def test_compact_batch_equivalent(self, setup):
+        """The production loader's compact contract (uint8 frames + uint8
+        slot labels, no one-hot) steps equivalently to the expanded f32
+        batch — trainer._model_inputs derives /255 and the frame-0 one-hot
+        in-graph. The derived inputs are exact (uint8/255 in f32), but
+        moving them in-graph changes XLA fusion boundaries, so downstream
+        f32 rounding differs at the same O(1e-7) band the remat and sharded
+        tests allow (Adam's sqrt(v) amplifies it to O(lr) on
+        near-zero-variance params)."""
+        _, _, _, state, step_fn, batch = setup
+        rng = np.random.default_rng(3)
+        B, T, H, W = batch["frames"].shape[:4]
+        N = batch["valid_obj"].shape[-1] - 1
+        u8 = rng.integers(0, 256, (B, T, H, W, 3), dtype=np.uint8)
+        lab = np.asarray(batch["label"]).astype(np.uint8)
+        compact = {
+            "frames": jnp.asarray(u8),
+            "label": jnp.asarray(lab),
+            "valid_obj": batch["valid_obj"],
+        }
+        onehot = (lab[..., None] == np.arange(N + 1, dtype=np.uint8)).astype(np.float32)
+        expanded = {
+            "frames": jnp.asarray(u8.astype(np.float32) / 255.0),
+            "masks": jnp.asarray(onehot),
+            "label": jnp.asarray(lab.astype(np.int32)),
+            "valid_obj": batch["valid_obj"],
+        }
+        key = jax.random.PRNGKey(9)
+        s_c, m_c = step_fn(state, compact, key)
+        s_e, m_e = step_fn(state, expanded, key)
+        np.testing.assert_allclose(
+            float(m_c["total_loss"]), float(m_e["total_loss"]), rtol=1e-6)
+        lr = 2e-4
+        diffs = np.concatenate([
+            np.abs(np.asarray(a) - np.asarray(b)).ravel()
+            for a, b in zip(jax.tree.leaves(s_c.params),
+                            jax.tree.leaves(s_e.params))
+        ])
+        assert diffs.max() < 3 * lr
+        assert np.quantile(diffs, 0.99) < 1e-5
+
     def test_p_drop_train_step_runs(self, setup):
         """p_drop>0 wires the 'memdrop' rng through the unrolled forward
         (modules.py:258-263) and still produces a finite loss."""
