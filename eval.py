@@ -61,6 +61,9 @@ def get_args():
     p.add_argument("--davis_in_size", type=int, nargs=2, default=(480, 864),
                    metavar=("H", "W"),
                    help="fixed DAVIS inference size (debug/small-scale runs)")
+    p.add_argument("--per_object_csv", action="store_true",
+                   help="also write the per-object per-frame J/F series to "
+                        "per-object_results-<set>.csv")
     return p.parse_args()
 
 
@@ -83,6 +86,7 @@ def build_config(args):
         davis_in_size=tuple(args.davis_in_size),
         scales=tuple(args.scales), flip=args.flip,
         video_batch=args.video_batch, obj_parallel=args.obj_parallel,
+        per_object_csv=args.per_object_csv,
     )
     return SWEMConfig(model=model, eval=ev, solver=SolverConfig(stage=args.stage),
                       exp_name=args.exp_name, log_dir=args.log_dir, resume=args.resume)

@@ -144,6 +144,10 @@ class EvalConfig:
     # A TPU-native extension; the reference is strictly single-device at
     # eval time. Composes with video_batch (the mesh becomes 2-D).
     obj_parallel: int = 1
+    # also write the per-object per-frame J/F series to a CSV next to the
+    # global/per-sequence reports (the log rows matching the reference's
+    # basic_evaluator.py:311-316 are emitted either way)
+    per_object_csv: bool = False
 
 
 @dataclass(frozen=True)

@@ -519,7 +519,8 @@ class Evaluator:
         return fps.fps
 
     # ------------------------------------------------------------------ #
-    def get_metrics(self) -> Optional[Dict[str, float]]:
+    def get_metrics(self, per_object_csv: bool = False
+                    ) -> Optional[Dict[str, float]]:
         from swem_tpu.eval.benchmark import DavisEvaluation, write_reports
 
         if self.eval_set not in ("DAVIS16", "DAVIS17"):
@@ -527,7 +528,8 @@ class Evaluator:
         year = "2016" if self.eval_set == "DAVIS16" else "2017"
         ev = DavisEvaluation(self.cfg.eval.data_root, year=year, gt_set="val")
         metrics = ev.evaluate(self.out_root)
-        return write_reports(metrics, self.save_dir, self.eval_set, self.logger)
+        return write_reports(metrics, self.save_dir, self.eval_set, self.logger,
+                             per_object_csv=per_object_csv)
 
     def val(self) -> Optional[Dict[str, float]]:
         """Full evaluation flow (swem_evaluator.py:150-160).
@@ -540,7 +542,8 @@ class Evaluator:
             self.evaluate_davis()
             self._barrier("davis_pngs")
             if self.eval_set != "DAVIS17Test" and self._pid == 0:
-                return self.get_metrics()
+                return self.get_metrics(
+                    per_object_csv=self.cfg.eval.per_object_csv)
             return None
         self.evaluate_ytvos()
         self._barrier("ytvos_pngs")

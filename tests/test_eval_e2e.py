@@ -165,10 +165,14 @@ class TestEvaluatorE2E:
         for name in ("vid0", "vid1"):
             pngs = os.listdir(os.path.join(ev.out_root, name))
             assert len(pngs) == 5
-        g = ev.get_metrics()
+        g = ev.get_metrics(per_object_csv=True)
         assert set(g) == {"J&F-Mean", "J-Mean", "J-Recall", "J-Decay",
                           "F-Mean", "F-Recall", "F-Decay"}
         assert np.isfinite(g["J&F-Mean"])
+        # the eval.py --per_object_csv surface (evaluation_method.py's flag
+        # routed through Evaluator.get_metrics)
+        assert os.path.exists(
+            os.path.join(ev.save_dir, "per-object_results-DAVIS17.csv"))
 
     def test_video_batched_matches_sequential(self, fake_davis, tmp_path_factory):
         """video_batch=2 throughput mode agrees with sequential eval
