@@ -14,7 +14,7 @@ import dataclasses
 import os
 
 
-def get_args():
+def get_args(argv=None):
     p = argparse.ArgumentParser(description="SWEM-TPU evaluation")
     p.add_argument("--model", default="SWEM")
     p.add_argument("--backbone", default="resnet50", choices=["resnet50", "resnet18"])
@@ -64,7 +64,7 @@ def get_args():
     p.add_argument("--per_object_csv", action="store_true",
                    help="also write the per-object per-frame J/F series to "
                         "per-object_results-<set>.csv")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def build_config(args):

@@ -23,7 +23,7 @@ import argparse
 import os
 
 
-def get_args():
+def get_args(argv=None):
     p = argparse.ArgumentParser(description="SWEM-TPU training")
     p.add_argument("--model", default="SWEM")
     p.add_argument("--backbone", default="resnet50", choices=["resnet50", "resnet18"])
@@ -72,7 +72,7 @@ def get_args():
     p.add_argument("--log_period", type=int, default=100)
     p.add_argument("--save_period", type=int, default=5000)
     p.add_argument("--vis_period", type=int, default=1000)
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def build_config(args):
