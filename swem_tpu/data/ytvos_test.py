@@ -150,6 +150,35 @@ class YTVOSTestSet:
             n_objs=len(slot_to_orig),
         )
 
+    def peek(self, idx: int):
+        """(name, raw_hw, in_size, out_size, n_objs, n_frames) without
+        decoding any frames (the DavisTestSet.peek analogue).
+
+        Reads only image file HEADERS (PIL parses dimensions lazily) plus
+        meta.json — enough for the throughput mode to group videos by
+        (raw size, inference size, output size, slot bucket) and sort by
+        length before batching.
+        """
+        from PIL import Image
+
+        name = self.videos[idx]
+        img_dir = os.path.join(self.root, "JPEGImages", name)
+        mask_dir = os.path.join(self.root, "Annotations", name)
+        img_list = sorted(glob(os.path.join(img_dir, "*.jpg")))
+        frame_names = [os.path.splitext(os.path.basename(p))[0] for p in img_list]
+        objs = self.meta[name]["objects"]
+        first_appear = min(frame_names.index(g["frames"][0]) for g in objs.values())
+        n_frames = len(img_list) - first_appear
+
+        with Image.open(img_list[first_appear]) as im:
+            w, h = im.size  # header only, no pixel decode
+        first_ann = min(g["frames"][0] for g in objs.values())
+        with Image.open(os.path.join(mask_dir, first_ann + ".png")) as im:
+            w0, h0 = im.size
+        n_objs = min(len(objs), self.n_slots)
+        return (name, (h, w), self._infer_size(h0, w0), (h0, w0),
+                n_objs, n_frames)
+
     def __iter__(self) -> Iterator[YTVOSVideo]:
         for i in range(len(self)):
             yield self[i]

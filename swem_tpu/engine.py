@@ -519,6 +519,11 @@ class ChunkedVideoRunner:
                     jnp.zeros((size, batch) + tuple(self.out_size), jnp.uint8),
                     jnp.zeros((size, batch, n_slots), jnp.bool_),
                 )
+                if self.mesh is not None:
+                    # same committed sharding the real calls use, or the jit
+                    # cache misses and the first real chunk recompiles
+                    extra = tuple(jax.device_put(e, self._shard_tb)
+                                  for e in extra)
             # mem is donated and a fresh one returned, so the dummy memory
             # chains through every program; fetching the predictions also
             # initializes the lazy device->host path per output shape
@@ -596,7 +601,12 @@ class ChunkedVideoRunner:
                     inj = injections.get(t + j)
                     if inj is not None:
                         inj_idx[j], inj_new[j] = inj
-                extra = (jnp.asarray(inj_idx), jnp.asarray(inj_new))
+                if self.mesh is not None:
+                    # batch-dim sharding like the frames (dim 1 of (C, B, ...))
+                    extra = (jax.device_put(inj_idx, self._shard_tb),
+                             jax.device_put(inj_new, self._shard_tb))
+                else:
+                    extra = (jnp.asarray(inj_idx), jnp.asarray(inj_new))
             return self._chunk(variables, mem, fc, active, jnp.asarray(fin),
                                *extra)
 

@@ -414,6 +414,84 @@ class Evaluator:
                          self.davis_palette)
 
     # ------------------------------------------------------------------ #
+    def _yt_runner(self, raw_hw, in_size, out_size, bucket, batch=1,
+                   mesh=None) -> ChunkedVideoRunner:
+        """Injectable chunked runner for YTVOS, cached per shape signature.
+
+        Frames arrive uint8 at native resolution; /255 + bicubic resize to
+        ``in_size`` fuse into the chunk programs (the DAVIS convention — 4x
+        less H2D than a host-resized f32 path, YTVOS_Test.py:75-90).
+        """
+        if mesh is None:
+            mesh = self._obj_mesh(bucket)
+        mesh_key = None if mesh is None else (
+            tuple(mesh.axis_names), tuple(mesh.devices.shape))
+        key = ("yt", raw_hw, in_size, out_size, bucket, batch, mesh_key)
+        if key not in self._runners:
+            def yt_pre(f, _hw=in_size):
+                f = f.astype(jnp.float32) / 255.0
+                if tuple(f.shape[-3:-1]) != _hw:
+                    f = resize(f, _hw, "bicubic")
+                return f
+
+            runner = ChunkedVideoRunner(
+                self._model_for(bucket), out_size,
+                chunk=self.cfg.eval.chunk, injectable=True,
+                preprocess=yt_pre, mesh=mesh,
+            )
+            # compile + chip-load every program outside the FPS span
+            runner.warmup(self.variables, raw_hw, batch, bucket,
+                          frame_dtype=jnp.uint8)
+            self._runners[key] = runner
+        return self._runners[key]
+
+    @staticmethod
+    def _yt_video_inputs(video, bucket):
+        """Per-video runner inputs: (init_mask (Ho,Wo,bucket+1), active
+        (bucket,), injections {t: (idx_map (Ho,Wo) uint8, new (bucket,)
+        bool)}) — batch-free; callers stack along B."""
+        init_mask = video.init_mask[..., : bucket + 1]
+        active = np.zeros((bucket,), bool)
+        # exact frame-0 slot list from meta.json (an annotated object may
+        # have an empty frame-0 mask; counting nonzero channels would
+        # activate the wrong slots)
+        active[[s_ for s_ in video.init_slots if s_ < bucket]] = True
+
+        injections = {}
+        for t, inj in video.injections.items():
+            Ho, Wo = video.original_size
+            idx_map = np.zeros((Ho, Wo), np.uint8)
+            new = np.zeros((bucket,), bool)
+            for slot in inj["new_slots"]:
+                if slot >= bucket:
+                    continue  # over-budget slot (dataset already warned)
+                idx_map[inj["mask"][..., slot + 1] > 0] = slot + 1
+                new[slot] = True
+            injections[t] = (idx_map, new)
+        return init_mask, active, injections
+
+    def _save_ytvos_video(self, writer, video, preds_tb):
+        """Palette-PNG output with slot -> original-id remap
+        (basic_evaluator.py:201-206); only annotated frames are saved."""
+        out_dir = os.path.join(self.out_root, video.name)
+        mkdir(out_dir)
+        writer.submit(
+            save_seg_mask, video.first_label,
+            os.path.join(out_dir, f"{video.frame_names[0]}.png"),
+            self.ytvos_palette,
+        )
+        slot_map = np.zeros(self.n_slots + 1, np.uint8)
+        for slot, orig in enumerate(video.slot_to_orig):
+            slot_map[slot + 1] = orig
+        for t in range(1, video.frames.shape[0]):
+            if video.frame_names[t] not in video.names_to_save:
+                continue
+            writer.submit(
+                save_seg_mask, slot_map[preds_tb[t - 1]],
+                os.path.join(out_dir, f"{video.frame_names[t]}.png"),
+                self.ytvos_palette,
+            )
+
     def evaluate_ytvos(self):
         """YTVOS inference: whole videos as injection-folded chunked scans.
 
@@ -424,7 +502,12 @@ class Evaluator:
         tail), and the true final frame's memorize is skipped inside its
         chunk (swem_evaluator.py:104-148 semantics, including line 139's
         decode-only last frame).
+
+        ``--video_batch > 1`` routes to the batched throughput mode — the
+        flag is never silently ignored.
         """
+        if self.cfg.eval.video_batch > 1:
+            return self.evaluate_ytvos_batched(self.cfg.eval.video_batch)
         fps = FrameSecondMeter()
         rng = jax.random.PRNGKey(self.cfg.data.seed)
 
@@ -434,8 +517,6 @@ class Evaluator:
             for seq_idx, video in zip(my_indices, videos):
                 T = video.frames.shape[0]
                 Ho, Wo = video.original_size
-                out_dir = os.path.join(self.out_root, video.name)
-                mkdir(out_dir)
                 bucket = self._slot_bucket(video.n_objs)
                 raw_hw = tuple(video.frames.shape[1:3])
                 in_size = tuple(video.in_size)
@@ -444,78 +525,131 @@ class Evaluator:
                     f"raw {raw_hw} -> in {in_size}, out {video.original_size}, "
                     f"{video.n_objs} objs -> {bucket} slots)"
                 )
-
-                # one injectable runner per (raw size, inference size, output
-                # size, bucket); frames arrive uint8 at native resolution and
-                # the /255 + bicubic resize fuse into the chunk programs (the
-                # DAVIS convention — 4x less H2D than the old host-resized f32
-                # path, YTVOS_Test.py:75-90)
-                key = ("yt", raw_hw, in_size, (Ho, Wo), bucket)
-                if key not in self._runners:
-                    def yt_pre(f, _hw=in_size):
-                        f = f.astype(jnp.float32) / 255.0
-                        if tuple(f.shape[-3:-1]) != _hw:
-                            f = resize(f, _hw, "bicubic")
-                        return f
-
-                    runner = ChunkedVideoRunner(
-                        self._model_for(bucket), (Ho, Wo),
-                        chunk=self.cfg.eval.chunk, injectable=True,
-                        preprocess=yt_pre, mesh=self._obj_mesh(bucket),
-                    )
-                    # compile + chip-load every program outside the FPS span
-                    runner.warmup(self.variables, raw_hw, 1,
-                                  bucket, frame_dtype=jnp.uint8)
-                    self._runners[key] = runner
-                runner = self._runners[key]
+                runner = self._yt_runner(raw_hw, in_size, (Ho, Wo), bucket)
 
                 # host arrays throughout: the jitted chunk programs upload their
                 # own slices (device-array slicing would compile per offset)
-                frames = video.frames[:, None]
-                init_mask = video.init_mask[None, ..., : bucket + 1]
-                active = np.zeros((1, bucket), bool)
-                # exact frame-0 slot list from meta.json (an annotated object may
-                # have an empty frame-0 mask; counting nonzero channels would
-                # activate the wrong slots)
-                active[:, [s_ for s_ in video.init_slots if s_ < bucket]] = True
-
-                injections = {}
-                for t, inj in video.injections.items():
-                    idx_map = np.zeros((1, Ho, Wo), np.uint8)
-                    new = np.zeros((1, bucket), bool)
-                    for slot in inj["new_slots"]:
-                        if slot >= bucket:
-                            continue  # over-budget slot (dataset already warned)
-                        idx_map[0][inj["mask"][..., slot + 1] > 0] = slot + 1
-                        new[:, slot] = True
-                    injections[t] = (idx_map, new)
+                init_mask, active, injections = self._yt_video_inputs(video, bucket)
+                injections = {t: (m[None], n[None]) for t, (m, n) in injections.items()}
 
                 fps.tic()
-                preds = runner(self.variables, rng, frames, init_mask,
-                               jnp.asarray(active), injections=injections)
+                preds = runner(self.variables, rng, video.frames[:, None],
+                               init_mask[None], jnp.asarray(active[None]),
+                               injections=injections)
                 fps.toc(T)
-                all_preds = preds[:, 0]  # (T-1, Ho, Wo) uint8
-
-                # save frame 0 (original ids)
-                writer.submit(
-                    save_seg_mask, video.first_label,
-                    os.path.join(out_dir, f"{video.frame_names[0]}.png"),
-                    self.ytvos_palette,
-                )
-                slot_map = np.zeros(self.n_slots + 1, np.uint8)
-                for slot, orig in enumerate(video.slot_to_orig):
-                    slot_map[slot + 1] = orig
-                for t in range(1, T):
-                    if video.frame_names[t] not in video.names_to_save:
-                        continue
-                    pred = slot_map[all_preds[t - 1]]
-                    writer.submit(
-                        save_seg_mask, pred,
-                        os.path.join(out_dir, f"{video.frame_names[t]}.png"),
-                        self.ytvos_palette,
-                    )
+                self._save_ytvos_video(writer, video, preds[:, 0])
         fps.end()
         self.logger.info(f"fps: {fps.fps}")
+        return fps.fps
+
+    def evaluate_ytvos_batched(self, vb: int):
+        """YTVOS throughput mode: ``vb`` videos per device batch.
+
+        The DAVIS batched strategy (evaluate_davis_batched) composed with
+        the injection protocol: videos sharing (raw size, inference size,
+        output size, slot bucket) are grouped from file HEADERS only
+        (YTVOSTestSet.peek), sorted by length so batch-mates pad minimally,
+        padded to a common length by repeating each video's final frame
+        (extra predictions are discarded; padded frames only touch their
+        own video's memory), and run through one injectable batched runner.
+        Each video's injection schedule occupies its own batch row of the
+        per-frame (B, Ho, Wo)/(B, N) scan inputs — an all-zero row is an
+        exact no-op (engine.run_chunk), so schedules never interact.
+
+        YTVOS's per-video native/inference-size spread means group sizes
+        are data-dependent: a video whose shape signature repeats nowhere
+        runs through its own B=1 runner (correct, just not faster); the
+        throughput win applies wherever signatures repeat — the 2018/2019
+        valid sets are dominated by a handful of resolutions, so most
+        videos do group.
+        """
+        fps = FrameSecondMeter()
+        rng = jax.random.PRNGKey(self.cfg.data.seed)
+
+        from swem_tpu.parallel import derive_eval_mesh_extents, eval_devices
+
+        devs = eval_devices()
+        n_data, n_obj = derive_eval_mesh_extents(
+            len(devs), self.cfg.eval.obj_parallel, vb)
+        mesh = None
+        if n_data * n_obj > 1:
+            if n_obj > 1:
+                mesh = "obj2d"  # bucket-clamped per group (see _obj_mesh)
+            else:
+                from swem_tpu.parallel import make_mesh
+
+                mesh = make_mesh(n_data, devices=devs)
+            self.logger.info(
+                f"sharding video batches over {n_data} devices"
+                + ("" if n_obj == 1 else f" x {n_obj} object shards"))
+
+        # group by shape signature from headers only (no frame decode), sort
+        # each group by length so batch-mates pad minimally
+        groups: Dict[tuple, list] = {}
+        for idx in range(len(self.dataset)):
+            _, raw_hw, in_size, out_size, n_objs, n_frames = self.dataset.peek(idx)
+            bucket = self._slot_bucket(n_objs)
+            groups.setdefault((raw_hw, in_size, out_size, bucket), []).append(
+                (idx, n_frames))
+
+        plan = []
+        for sig, items in groups.items():
+            items.sort(key=lambda t: t[1])
+            indices = [t[0] for t in items]
+            plan += [(sig, indices[i : i + vb])
+                     for i in range(0, len(indices), vb)]
+        # multi-host: round-robin over whole batches (grouping preserved)
+        plan = plan[self._pid :: self._nproc]
+        decoded = prefetch(
+            lambda p: (p[0], [self.dataset[j] for j in p[1]]), plan, depth=1)
+
+        with AsyncWriter() as writer:
+            for (raw_hw, in_size, out_size, bucket), batch_videos in decoded:
+                B = len(batch_videos)
+                T_max = max(v.frames.shape[0] for v in batch_videos)
+                frames = np.stack([
+                    np.concatenate(
+                        [v.frames,
+                         np.repeat(v.frames[-1:], T_max - v.frames.shape[0], 0)]
+                    ) if v.frames.shape[0] < T_max else v.frames
+                    for v in batch_videos
+                ], axis=1)  # (T_max, B, H, W, 3) uint8 host
+                per_video = [self._yt_video_inputs(v, bucket)
+                             for v in batch_videos]
+                init_mask = np.stack([pv[0] for pv in per_video])
+                active = np.stack([pv[1] for pv in per_video])
+                # merge per-video schedules into batched per-frame inputs:
+                # video b writes only row b; other rows stay zero (no-ops)
+                injections: Dict[int, tuple] = {}
+                for b, (_, _, inj) in enumerate(per_video):
+                    for t, (idx_map, new) in inj.items():
+                        if t not in injections:
+                            injections[t] = (
+                                np.zeros((B,) + tuple(out_size), np.uint8),
+                                np.zeros((B, bucket), bool),
+                            )
+                        injections[t][0][b] = idx_map
+                        injections[t][1][b] = new
+
+                group_mesh = None
+                if mesh is not None and B % n_data == 0:
+                    group_mesh = (self._obj_mesh(bucket, n_data=n_data)
+                                  if mesh == "obj2d" else mesh)
+                runner = self._yt_runner(raw_hw, in_size, out_size, bucket,
+                                         batch=B, mesh=group_mesh)
+                fps.tic()
+                preds = runner(self.variables, rng, frames,
+                               jnp.asarray(init_mask), jnp.asarray(active),
+                               injections=injections)
+                fps.toc(sum(v.frames.shape[0] for v in batch_videos))
+                for b, v in enumerate(batch_videos):
+                    self._save_ytvos_video(writer, v, preds[:, b])
+                self.logger.info(
+                    f"batch of {B} videos ({[v.name for v in batch_videos]}) "
+                    f"done ({raw_hw} -> {in_size}, {bucket} slots)"
+                )
+        fps.end()
+        self.logger.info(f"fps (throughput, video_batch={vb}): {fps.fps}")
         return fps.fps
 
     # ------------------------------------------------------------------ #

@@ -366,6 +366,120 @@ class TestEvaluatorE2E:
             m = np.array(Image.open(os.path.join(ev.out_root, name, png)))
             assert m.shape == (80, 80)
 
+    @staticmethod
+    def _build_fake_ytvos(root):
+        """4 synthetic videos exercising the batched grouping: three 64x64
+        (one with a mid-video injection, one shorter -> padding), one 80x80
+        (different shape signature -> its own group)."""
+        import json
+
+        pal = davis_palette()
+        rng = np.random.default_rng(7)
+        meta = {"videos": {}}
+
+        def add_video(name, hw, n_frames, objects, labels):
+            jdir = os.path.join(root, "JPEGImages", name)
+            adir = os.path.join(root, "Annotations", name)
+            os.makedirs(jdir)
+            os.makedirs(adir)
+            for i in range(n_frames):
+                img = (rng.random(hw + (3,)) * 255).astype(np.uint8)
+                Image.fromarray(img).save(os.path.join(jdir, f"{i:05d}.jpg"))
+            for fidx, lab in labels.items():
+                save_seg_mask(lab, os.path.join(adir, f"{fidx:05d}.png"), pal)
+            meta["videos"][name] = {"objects": objects}
+
+        lab_a = np.zeros((64, 64), np.uint8)
+        lab_a[8:24, 8:24] = 1
+        lab_inj = np.zeros((64, 64), np.uint8)
+        lab_inj[40:60, 40:60] = 3
+        add_video("vid_inj", (64, 64), 5,
+                  {"1": {"frames": ["00000", "00002", "00004"]},
+                   "3": {"frames": ["00002", "00004"]}},
+                  {0: lab_a, 2: lab_inj})
+        lab_b = np.zeros((64, 64), np.uint8)
+        lab_b[30:50, 10:40] = 2
+        add_video("vid_short", (64, 64), 4,
+                  {"2": {"frames": ["00000", "00002"]}}, {0: lab_b})
+        lab_c = np.zeros((64, 64), np.uint8)
+        lab_c[5:20, 30:60] = 1
+        add_video("vid_plain", (64, 64), 5,
+                  {"1": {"frames": ["00000", "00003"]}}, {0: lab_c})
+        lab_d = np.zeros((80, 80), np.uint8)
+        lab_d[10:30, 10:30] = 1
+        add_video("vid_big", (80, 80), 4,
+                  {"1": {"frames": ["00000", "00002"]}}, {0: lab_d})
+
+        import json as _json
+
+        with open(os.path.join(root, "meta.json"), "w") as f:
+            _json.dump(meta, f)
+
+    def test_ytvos_peek_matches_getitem(self, tmp_path_factory):
+        """peek() returns the full shape signature without decoding frames."""
+        from swem_tpu.data.ytvos_test import YTVOSTestSet
+
+        root = str(tmp_path_factory.mktemp("ytvos_peek"))
+        self._build_fake_ytvos(root)
+        ds = YTVOSTestSet(root, short_size=64, n_slots=4)
+        for idx in range(len(ds)):
+            name, raw_hw, in_size, out_size, n_objs, n_frames = ds.peek(idx)
+            v = ds[idx]
+            assert name == v.name
+            assert raw_hw == tuple(v.frames.shape[1:3])
+            assert tuple(in_size) == tuple(v.in_size)
+            assert tuple(out_size) == tuple(v.original_size)
+            assert n_objs == v.n_objs
+            assert n_frames == v.frames.shape[0]
+
+    def test_ytvos_batched_matches_sequential(self, tmp_path_factory):
+        """video_batch=2 YTVOS throughput mode writes the sequential mode's
+        PNGs (up to f32 batched-conv argmax ties; > 99.9% pixels), incl. a
+        mid-video injection, a shorter batch-mate (padding), and a
+        different-resolution video (its own group)."""
+        from swem_tpu.eval.evaluator import Evaluator
+        from swem_tpu.models.swem import SWEM
+
+        root = str(tmp_path_factory.mktemp("ytvos_vb"))
+        self._build_fake_ytvos(root)
+
+        model_cfg = ModelConfig(
+            backbone="resnet18", keydim=8, valdim=16, num_bases=4,
+            num_em_iters=2, topl=2, max_objs=4, mdim=16,
+        )
+        model = SWEM(model_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, 5)),
+        )
+        outs = {}
+        for vb in (1, 2):
+            cfg = SWEMConfig(
+                model=model_cfg,
+                eval=EvalConfig(eval_set="YTVOS19", data_root=root, max_objs=4,
+                                ssize=64, chunk=2, video_batch=vb),
+                log_dir=str(tmp_path_factory.mktemp(f"logs_ytvb{vb}")),
+            )
+            ev = Evaluator(cfg, variables)
+            fps = ev.evaluate_ytvos()  # vb routes to the batched mode
+            assert fps > 0
+            outs[vb] = ev.out_root
+        total = agree = 0
+        for name in ("vid_inj", "vid_short", "vid_plain", "vid_big"):
+            seq_files = sorted(os.listdir(os.path.join(outs[1], name)))
+            bat_files = sorted(os.listdir(os.path.join(outs[2], name)))
+            assert seq_files == bat_files and seq_files  # same saved frames
+            for f in seq_files:
+                a = np.array(Image.open(os.path.join(outs[1], name, f)))
+                b = np.array(Image.open(os.path.join(outs[2], name, f)))
+                assert a.shape == b.shape
+                total += a.size
+                agree += (a == b).sum()
+        assert agree / total > 0.999, agree / total
+        # the injected object survives batching with its ORIGINAL id (3)
+        m2 = np.array(Image.open(os.path.join(outs[2], "vid_inj", "00002.png")))
+        assert (m2 == 3).sum() > 0
+
     def test_verify_parity_runbook(self, fake_davis, tmp_path_factory, monkeypatch):
         """scripts/verify_parity.py end to end: orbax checkpoint -> eval ->
         CSV -> self-diff gate passes with |diff| = 0."""
