@@ -27,6 +27,13 @@ topl 64, 2 objects) on synthetic 480p video in two ways:
   production path would run at if host<->device transfers were free —
   the upper bound a real PCIe host approaches.
 
+* ``serve_latency_ms`` — online serving: device-only per-frame time of one
+  ``StreamingSession.push`` at flagship dims (profiler module lane over 24
+  pushes). ``serve_wall_p50/p95_ms`` are the wall percentiles under the
+  serving contract (each push materializes its mask on host) — on this dev
+  box they measure the tunneled link, not the model (PARITY.md "Beyond the
+  reference: serving").
+
 FPS counts everything the reference counts: per-frame encode, memory read,
 decode, argmax, value encode, EM memorize (utils/logger.py:87-108
 semantics: wall-clock over whole-video inference, excluding PNG I/O).
@@ -156,6 +163,40 @@ def bench_runner(model, variables, cfg, Ho, Wo):
     return float(np.median(fps_runs)), device_fps
 
 
+def bench_serve(cfg, variables, Ho, Wo):
+    """Online serving latency: StreamingSession at flagship dims.
+
+    Wall percentiles follow the serving contract (each push materializes
+    its uint8 mask on host before the next frame); ``device_ms`` is the
+    profiler-derived chip-only per-frame time (``runner_device_fps``
+    technique) — the latency floor a colocated host approaches. On this
+    dev box the wall numbers include the tunneled device link and measure
+    the link; device_ms is the tunnel-independent serving number.
+    """
+    from swem_tpu.serve import (StreamingSession, measure_device_latency,
+                                measure_latency)
+
+    T = 24
+    rng = np.random.default_rng(2)
+    frames = (rng.random((T, Ho, Wo, 3)) * 255).astype(np.uint8)
+    frame0 = (rng.random((Ho, Wo, 3)) * 255).astype(np.uint8)
+    init_mask = np.zeros((Ho, Wo), np.uint8)
+    init_mask[100:220, 150:330] = 1
+    init_mask[260:400, 500:700] = 2
+
+    session = StreamingSession(
+        cfg, variables, raw_hw=(Ho, Wo), in_size=(480, 864),
+        out_size=(Ho, Wo))
+    wall = measure_latency(session, frame0, init_mask, frames,
+                           percentiles=(50, 95))
+    try:
+        device_ms = measure_device_latency(session, frame0, init_mask, frames)
+    except Exception as e:  # noqa: BLE001 — a bad trace must not lose wall
+        print(f"serve device latency unavailable: {e}", file=sys.stderr)
+        device_ms = None
+    return wall, device_ms
+
+
 def main():
     from swem_tpu.config import ModelConfig
     from swem_tpu.models.swem import SWEM
@@ -172,6 +213,7 @@ def main():
 
     scan_fps = bench_scan(model, variables, cfg, Ho, Wo)
     runner_fps, runner_device_fps = bench_runner(model, variables, cfg, Ho, Wo)
+    serve_wall, serve_device_ms = bench_serve(cfg, variables, Ho, Wo)
 
     baseline_fps = 36.0  # SWEM paper, 480p on V100
     out = {
@@ -184,6 +226,12 @@ def main():
     }
     if runner_device_fps is not None:
         out["runner_device_fps"] = round(runner_device_fps, 2)
+    if serve_device_ms is not None:
+        # the serving latency number: chip-only per-frame time of the
+        # streaming push program (see bench_serve)
+        out["serve_latency_ms"] = round(serve_device_ms, 2)
+    out["serve_wall_p50_ms"] = round(serve_wall["p50"], 1)
+    out["serve_wall_p95_ms"] = round(serve_wall["p95"], 1)
     print(json.dumps(out))
 
 

@@ -88,6 +88,8 @@ class TrainLoader:
         self.num_shards = num_shards
         self._pool = None
         self._local_dataset = probe if num_workers == 0 else None
+        self._stop = None
+        self._thread = None
 
     def _ensure_pool(self):
         if self.num_workers > 0 and self._pool is None:
@@ -117,6 +119,7 @@ class TrainLoader:
         self._ensure_pool()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        self._stop = stop
 
         def producer():
             while not stop.is_set():
@@ -137,6 +140,7 @@ class TrainLoader:
                     return
 
         t = threading.Thread(target=producer, daemon=True)
+        self._thread = t
         t.start()
         try:
             while True:
@@ -148,9 +152,21 @@ class TrainLoader:
             stop.set()
 
     def close(self):
+        """Stop the producer thread AND the worker pool.
+
+        The generator's own ``finally`` only fires when the iterator is
+        garbage-collected; a caller that merely stops pulling batches would
+        otherwise leave a daemon thread building one more batch in the
+        background (stealing host cores from whatever runs next — found as
+        cross-stage pollution in scripts/loader_bench.py)."""
+        if self._stop is not None:
+            self._stop.set()
         if self._pool is not None:
-            self._pool.terminate()
+            self._pool.terminate()  # unblocks a producer stuck in pool.map
             self._pool = None
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
 
 
 def _collect(dataset, args):

@@ -44,18 +44,26 @@ def random_resize(rng, img: np.ndarray, msk: np.ndarray,
     return rimg, rmsk
 
 
-def place_object(rng, img: np.ndarray, msk: np.ndarray, tar_hw: Tuple[int, int]):
-    """Paste an object at a random position on an empty canvas
-    (static_dataset.py:58-82)."""
+def sample_place(rng, src_hw: Tuple[int, int], tar_hw: Tuple[int, int]):
+    """Random paste placement (static_dataset.py:58-70): returns the target
+    rectangle [tly:dry, tlx:drx] and the source offset (miny, minx)."""
+    src_h, src_w = src_hw
     h, w = tar_hw
-    msk3 = msk[:, :, None].astype(np.float32)
-    src_h, src_w = img.shape[:2]
     cx = int(rng.integers(src_w // 2, max(w - src_w // 2, src_w // 2) + 1))
     cy = int(rng.integers(src_h // 2, max(h - src_h // 2, src_h // 2) + 1))
     tlx, tly = cx - src_w // 2, cy - src_h // 2
     minx, miny = max(0, -tlx), max(0, -tly)
     drx, dry = min(w, tlx + src_w), min(h, tly + src_h)
     tlx, tly = max(0, tlx), max(0, tly)
+    return (tly, tlx, dry, drx), (miny, minx)
+
+
+def place_object(rng, img: np.ndarray, msk: np.ndarray, tar_hw: Tuple[int, int]):
+    """Paste an object at a random position on an empty canvas
+    (static_dataset.py:58-82)."""
+    h, w = tar_hw
+    msk3 = msk[:, :, None].astype(np.float32)
+    (tly, tlx, dry, drx), (miny, minx) = sample_place(rng, img.shape[:2], tar_hw)
     th, tw = dry - tly, drx - tlx
     p_img = np.zeros((h, w, img.shape[2]), np.float32)
     p_msk = np.zeros((h, w, 1), np.float32)
@@ -83,26 +91,38 @@ def synthesis_frames(rng, imgs: List[Image.Image], msks: List[Image.Image],
             crops.append((img[y0:y1, x0:x1], msk[y0:y1, x0:x1, 0]))
     ids = list(range(1, len(crops) + 2))
     rng.shuffle(ids)
+    # the fg0-inpainted background is frame-invariant: build it once.
+    # Boolean-mask composites replace the reference's float blends exactly
+    # (p_msk is binary, so x*(1-p)+y*p == where(p, y, x) bit-for-bit).
+    fg0 = msks_np[0]
+    mean_fg = np.sum(imgs_np[0] * fg0, axis=(0, 1), keepdims=True) / (
+        np.sum(fg0, axis=(0, 1), keepdims=True) + 1e-8
+    )
+    bg = imgs_np[0] * (1 - fg0) + mean_fg * fg0  # fg0-inpainted background
     syn_imgs, syn_msks = [], []
     for _ in range(nframe):
+        # paste regions only (no full-canvas intermediates — place_object's
+        # zero canvases cost 2 full-res float arrays per object per frame;
+        # the composite only ever reads the subrectangle). RNG draw order is
+        # identical: resize (2 uniforms) then placement (2 integers) per
+        # object, then the z-order shuffle.
         placed = []
         for img, msk in crops:
             rimg, rmsk = random_resize(rng, img, msk)
-            placed.append(place_object(rng, rimg, rmsk, (h, w)))
-        fg0 = msks_np[0]
-        mean_fg = np.sum(imgs_np[0] * fg0, axis=(0, 1), keepdims=True) / (
-            np.sum(fg0, axis=(0, 1), keepdims=True) + 1e-8
-        )
-        syn_img = imgs_np[0] * (1 - fg0) + mean_fg * fg0  # fg0-inpainted background
-        syn_msk = np.zeros((h, w, 1), np.float32)
+            placed.append((rimg, rmsk, sample_place(rng, rimg.shape[:2], (h, w))))
+        syn_img = bg.copy()
+        syn_msk = np.zeros((h, w), np.uint8)
         order = list(range(len(placed)))
         rng.shuffle(order)
         for i in order:
-            p_img, p_msk = placed[i]
-            syn_img = syn_img * (1 - p_msk) + p_img * p_msk
-            syn_msk[p_msk == 1] = ids[i]
+            rimg, rmsk, ((tly, tlx, dry, drx), (miny, minx)) = placed[i]
+            th, tw = dry - tly, drx - tlx
+            sel = rmsk[miny:miny + th, minx:minx + tw] > 0
+            syn_img[tly:dry, tlx:drx][sel] = rimg[miny:miny + th,
+                                                  minx:minx + tw][sel]
+            syn_msk[tly:dry, tlx:drx][sel] = ids[i]
         syn_imgs.append(Image.fromarray(np.clip(syn_img, 0, 255).astype(np.uint8)))
-        syn_msks.append(Image.fromarray(syn_msk[..., 0].astype(np.uint8), "P"))
+        syn_msks.append(Image.fromarray(syn_msk, "P"))
     return syn_imgs, syn_msks
 
 

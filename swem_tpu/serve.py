@@ -217,3 +217,34 @@ def measure_latency(session: StreamingSession, frame0, init_mask, frames,
     out = {f"p{p}": float(np.percentile(lat, p)) for p in percentiles}
     out["mean"] = float(np.mean(lat))
     return out
+
+
+def measure_device_latency(session: StreamingSession, frame0, init_mask,
+                           frames, trace_dir: Optional[str] = None) -> float:
+    """Device-only per-frame latency (ms): trace the push loop with the
+    jax profiler and divide the summed device "XLA Modules" time by the
+    frame count (the ``runner_device_fps`` technique, bench.py).
+
+    This is the tunnel/PCIe-independent number — the time the chip itself
+    spends answering one ``push``, i.e. the latency floor a colocated
+    serving host approaches. Wall-clock percentiles from
+    ``measure_latency`` sit above it by the host<->device transfer and
+    dispatch cost of the deployment link.
+    """
+    import shutil
+    import tempfile
+
+    from swem_tpu.utils.profiling import device_seconds_from_trace
+
+    session.warmup()
+    session.start(frame0, init_mask)
+    own_dir = trace_dir is None
+    trace_dir = trace_dir or tempfile.mkdtemp(prefix="serve_trace_")
+    try:
+        with jax.profiler.trace(trace_dir):
+            for f in frames:
+                _ = session.push(f)
+        return device_seconds_from_trace(trace_dir) * 1e3 / len(frames)
+    finally:
+        if own_dir:
+            shutil.rmtree(trace_dir, ignore_errors=True)
