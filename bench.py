@@ -198,10 +198,21 @@ def bench_serve(cfg, variables, Ho, Wo):
 
 
 def main():
+    import argparse
+
     from swem_tpu.config import ModelConfig
     from swem_tpu.models.swem import SWEM
 
-    cfg = ModelConfig(dtype="bfloat16")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="conv-tower compute dtype; the headline is bf16, "
+                         "--dtype float32 records the worst-case precision-"
+                         "retreat number (PARITY.md, ~6 min compile)")
+    ap.add_argument("--skip_serve", action="store_true")
+    args = ap.parse_args()
+
+    cfg = ModelConfig(dtype=args.dtype)
     model = SWEM(cfg)
     Ho, Wo = 480, 854
 
@@ -213,7 +224,8 @@ def main():
 
     scan_fps = bench_scan(model, variables, cfg, Ho, Wo)
     runner_fps, runner_device_fps = bench_runner(model, variables, cfg, Ho, Wo)
-    serve_wall, serve_device_ms = bench_serve(cfg, variables, Ho, Wo)
+    serve_wall, serve_device_ms = (None, None) if args.skip_serve else \
+        bench_serve(cfg, variables, Ho, Wo)
 
     baseline_fps = 36.0  # SWEM paper, 480p on V100
     out = {
@@ -230,8 +242,11 @@ def main():
         # the serving latency number: chip-only per-frame time of the
         # streaming push program (see bench_serve)
         out["serve_latency_ms"] = round(serve_device_ms, 2)
-    out["serve_wall_p50_ms"] = round(serve_wall["p50"], 1)
-    out["serve_wall_p95_ms"] = round(serve_wall["p95"], 1)
+    if serve_wall is not None:
+        out["serve_wall_p50_ms"] = round(serve_wall["p50"], 1)
+        out["serve_wall_p95_ms"] = round(serve_wall["p95"], 1)
+    if args.dtype != "bfloat16":
+        out["dtype"] = args.dtype
     print(json.dumps(out))
 
 
