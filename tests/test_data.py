@@ -252,3 +252,22 @@ class TestLoader:
         i1 = l1._batch_indices()
         assert len(i0) == len(i1) == 2
         assert not set(i0) & set(i1)
+
+    def test_close_joins_producer_thread(self, tmp_path):
+        """close() must stop the producer thread even when the caller just
+        stops pulling batches (without it, a daemon thread keeps building
+        one more batch — found stealing host CPU in scripts/loader_bench.py)."""
+        build_fake_video_root(str(tmp_path))
+
+        def factory():
+            return VideoTrainDataset("DAVIS17", str(tmp_path), num_frames=3,
+                                     max_objs=2, crop_size=(32, 32), max_iter=100)
+
+        loader = TrainLoader(factory, batch=2, seed=5, num_workers=0)
+        it = iter(loader)
+        next(it)  # producer thread is now alive and prefetching
+        t = loader._thread
+        assert t is not None and t.is_alive()
+        loader.close()  # no generator close: close() alone must stop it
+        assert not t.is_alive()
+        assert loader._thread is None
