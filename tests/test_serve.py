@@ -93,6 +93,44 @@ def test_stream_resize_path(tiny):
     assert pred.shape == (H, W)
 
 
+def test_measure_latency_contract(tiny):
+    """measure_latency returns the requested percentiles + mean, in ms,
+    over one push per frame (warmup + start excluded from the timings)."""
+    from swem_tpu.serve import measure_latency
+
+    cfg, variables = tiny
+    rng = np.random.default_rng(3)
+    H, W = 64, 96
+    frames = (rng.random((5, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    sess = StreamingSession(cfg, variables, raw_hw=(H, W), in_size=(H, W),
+                            out_size=(H, W))
+    out = measure_latency(sess, frames[0], labels, frames[1:],
+                          percentiles=(50, 95))
+    assert set(out) == {"p50", "p95", "mean"}
+    assert 0 < out["p50"] <= out["p95"]
+    assert sess.frames_seen == 5
+
+
+def test_measure_device_latency_raises_without_device_lane(tiny):
+    """On backends whose profiler trace has no device 'XLA Modules' lane
+    (CPU here), the device-latency helper must raise rather than report 0 —
+    bench.py catches this and keeps the wall numbers."""
+    from swem_tpu.serve import measure_device_latency
+
+    cfg, variables = tiny
+    rng = np.random.default_rng(4)
+    H, W = 64, 96
+    frames = (rng.random((3, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    sess = StreamingSession(cfg, variables, raw_hw=(H, W), in_size=(H, W),
+                            out_size=(H, W))
+    with pytest.raises(RuntimeError, match="XLA Modules"):
+        measure_device_latency(sess, frames[0], labels, frames[1:])
+
+
 def test_stream_obj_parallel_matches_local(tiny):
     """A mesh with an 'obj' axis splits the session's per-object towers
     over devices (the single-stream latency win — batch=1 has no data
