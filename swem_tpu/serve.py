@@ -78,6 +78,7 @@ class StreamingSession:
             self.variables = jax.device_put(
                 variables, NamedSharding(mesh, Pspec()))
         self.mesh = mesh
+        self._esh = esh
         self.raw_hw = tuple(raw_hw)
         self.in_size = tuple(in_size)
         self.out_size = tuple(out_size)
@@ -86,6 +87,12 @@ class StreamingSession:
         self._mem = None
         self._active = None
         self._frame_count = 0
+        self._build_programs()
+
+    def _build_programs(self) -> None:
+        """(Re)build the jitted init/step/inject programs for the current
+        model config — called at construction and by ``grow``."""
+        esh = self._esh
 
         def pre(f):  # uint8 (B,h,w,3) -> normalized f32 at in_size
             f = f.astype(jnp.float32) / 255.0
@@ -194,6 +201,79 @@ class StreamingSession:
         self._active = jnp.logical_or(self._active, jnp.asarray(inew))
         self._frame_count += 1
         return np.asarray(pred)[0]
+
+    def grow(self, n_slots: int, *, warmup: bool = False) -> None:
+        """Raise the slot budget mid-stream (2 slots cost ~8 ms/push on a
+        v5e at 480p, 8 slots ~26 ms — PARITY.md; start streams at their
+        real object count and grow only when objects appear).
+
+        Existing slots' fitted EM bases carry over bit-for-bit; the new
+        slots receive a fresh random prototype draw (the same distribution
+        a from-scratch session seeds, em.py::init_bases — it only
+        warm-starts their first EM fit and washes out against real data)
+        and stay inactive until ``add_objects`` names them. Inactive
+        padded slots are exact EM no-ops (the load-bearing invariant,
+        tests/test_em.py), so the stream's predictions are unchanged by
+        growth alone — tested bit-identical in tests/test_serve.py.
+
+        The jitted programs rebuild for the new static shapes: the next
+        push pays a compile unless ``warmup=True`` (which pays it here).
+        """
+        import dataclasses
+
+        from swem_tpu.models import em
+
+        assert self._mem is not None, "call start() first"
+        if n_slots <= self.n_slots:
+            raise ValueError(
+                f"grow({n_slots}) needs more than the current {self.n_slots} "
+                "slots (shrinking would discard fitted objects)")
+        if self._esh is not None and n_slots % self._esh.n_obj:
+            raise ValueError(
+                f"n_slots={n_slots} not divisible by the mesh 'obj' axis "
+                f"({self._esh.n_obj})")
+        old = self.n_slots
+        cfg = dataclasses.replace(self.cfg, max_objs=n_slots)
+        # fresh draw for the new slots, batch-broadcast like init_memory's
+        fresh = em.fresh_memory(
+            jax.random.fold_in(self._rng, self._frame_count), 1, n_slots,
+            cfg.keydim, cfg.valdim, cfg.num_bases)
+        B = self._active.shape[0]
+
+        def pad(old_arr, fresh_arr):
+            new_part = fresh_arr[:, old:]
+            new_part = jnp.broadcast_to(new_part, (B,) + new_part.shape[1:])
+            return jnp.concatenate([old_arr, new_part.astype(old_arr.dtype)],
+                                   axis=1)
+
+        def pad_bases(ob, fb):
+            return em.Bases(kappa=pad(ob.kappa, fb.kappa),
+                            nu=pad(ob.nu, fb.nu), zita=pad(ob.zita, fb.zita))
+
+        self._mem = em.VOSMemory(
+            first=pad_bases(self._mem.first, fresh.first),
+            update=pad_bases(self._mem.update, fresh.update),
+            obj_seen=jnp.concatenate(
+                [self._mem.obj_seen,
+                 jnp.zeros((B, n_slots - old), bool)], axis=1),
+            mem_count=self._mem.mem_count,
+        )
+        self._active = jnp.concatenate(
+            [self._active, jnp.zeros((B, n_slots - old), bool)], axis=1)
+        self.cfg = cfg
+        self.model = SWEM(cfg)
+        self.n_slots = n_slots
+        self._build_programs()
+        if warmup:
+            h, w = self.raw_hw
+            f = jnp.zeros((1, h, w, 3), jnp.uint8)
+            m = jnp.zeros((1,) + self.out_size + (n_slots + 1,), jnp.float32)
+            a = jnp.zeros((1, n_slots), jnp.bool_)
+            mem = jax.tree.map(jnp.copy, self._mem)  # _step donates its mem
+            mem, pred = self._step(self.variables, mem, f, a)
+            np.asarray(pred)
+            mem, pred = self._inject(self.variables, mem, f, a, m, a)
+            np.asarray(pred)
 
     @property
     def frames_seen(self) -> int:

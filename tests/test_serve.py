@@ -131,6 +131,86 @@ def test_measure_device_latency_raises_without_device_lane(tiny):
         measure_device_latency(sess, frames[0], labels, frames[1:])
 
 
+def test_grow_without_injection_is_exact_noop(tiny):
+    """grow() alone must not change the stream: carried bases are
+    bit-identical and the padded inactive slots are exact no-ops (the
+    tests/test_em.py invariant, exercised end-to-end through the conv
+    towers + aggregation)."""
+    cfg, variables = tiny
+    rng = np.random.default_rng(11)
+    T, H, W = 6, 64, 96
+    frames_u8 = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    labels[40:60, 60:90] = 2
+
+    import dataclasses
+    small = dataclasses.replace(cfg, max_objs=2)
+
+    base = StreamingSession(small, variables, raw_hw=(H, W), in_size=(H, W),
+                            out_size=(H, W), seed=0)
+    base.start(frames_u8[0], labels)
+    base.push(frames_u8[1])
+    want = [base.push(f) for f in frames_u8[2:]]
+
+    grown = StreamingSession(small, variables, raw_hw=(H, W), in_size=(H, W),
+                             out_size=(H, W), seed=0)
+    grown.start(frames_u8[0], labels)
+    grown.push(frames_u8[1])
+    grown.grow(4)
+    assert grown.n_slots == 4
+    got = [grown.push(f) for f in frames_u8[2:]]
+    for w_, g in zip(want, got):
+        np.testing.assert_array_equal(w_, g)
+
+
+def test_grow_then_inject_matches_scratch_big(tiny):
+    """grow(4)+inject ~ a from-scratch 4-slot session on the same history:
+    not bit-equal (new slots' random EM warm-start differs — it washes out
+    against real data, engine.py::init_memory), but pixel disagreement must
+    stay tiny, and the injected object must persist."""
+    cfg, variables = tiny
+    rng = np.random.default_rng(12)
+    T, H, W = 6, 64, 96
+    frames_u8 = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    inj = np.zeros((H, W), np.uint8)
+    inj[40:60, 60:90] = 2
+
+    import dataclasses
+
+    def run(n_start):
+        sess = StreamingSession(dataclasses.replace(cfg, max_objs=n_start),
+                                variables, raw_hw=(H, W), in_size=(H, W),
+                                out_size=(H, W), seed=0)
+        sess.start(frames_u8[0], labels)
+        sess.push(frames_u8[1])
+        if n_start < 4:
+            sess.grow(4)
+        preds = [sess.add_objects(frames_u8[2], inj, [2])]
+        preds += [sess.push(f) for f in frames_u8[3:]]
+        return np.stack(preds)
+
+    got = run(2)   # grown mid-stream
+    want = run(4)  # from scratch at the big budget
+    assert (got == 2).any(axis=(1, 2)).all(), "injected object lost"
+    assert (got != want).mean() < 1e-2
+
+
+def test_grow_rejects_shrink(tiny):
+    cfg, variables = tiny
+    rng = np.random.default_rng(13)
+    H, W = 64, 96
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    sess = StreamingSession(cfg, variables, raw_hw=(H, W), in_size=(H, W),
+                            out_size=(H, W))
+    sess.start((rng.random((H, W, 3)) * 255).astype(np.uint8), labels)
+    with pytest.raises(ValueError, match="shrink"):
+        sess.grow(2)
+
+
 def test_stream_obj_parallel_matches_local(tiny):
     """A mesh with an 'obj' axis splits the session's per-object towers
     over devices (the single-stream latency win — batch=1 has no data
