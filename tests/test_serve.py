@@ -198,6 +198,43 @@ def test_grow_then_inject_matches_scratch_big(tiny):
     assert (got != want).mean() < 1e-2
 
 
+def test_grow_under_obj_mesh(tiny):
+    """grow() composes with the obj mesh: sharded memory pads + re-shards,
+    divisibility is enforced, and the grown sharded stream matches the
+    grown local stream."""
+    from swem_tpu.parallel import make_mesh2
+
+    cfg, variables = tiny
+    rng = np.random.default_rng(14)
+    T, H, W = 5, 64, 96
+    frames_u8 = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    inj = np.zeros((H, W), np.uint8)
+    inj[40:60, 60:90] = 2
+
+    import dataclasses
+    small = dataclasses.replace(cfg, max_objs=2)
+
+    def run(mesh):
+        sess = StreamingSession(small, variables, raw_hw=(H, W),
+                                in_size=(H, W), out_size=(H, W), seed=0,
+                                mesh=mesh)
+        sess.start(frames_u8[0], labels)
+        sess.push(frames_u8[1])
+        sess.grow(4)
+        preds = [sess.add_objects(frames_u8[2], inj, [2]),
+                 sess.push(frames_u8[3]), sess.push(frames_u8[4])]
+        return sess, np.stack(preds)
+
+    _, want = run(None)
+    sess, got = run(make_mesh2(n_data=1, n_obj=2))
+    # per-device partitioning can flip f32 argmax ties on a few pixels
+    assert (got != want).mean() < 1e-3
+    with pytest.raises(ValueError, match="divisible"):
+        sess.grow(5)
+
+
 def test_grow_rejects_shrink(tiny):
     cfg, variables = tiny
     rng = np.random.default_rng(13)
