@@ -87,11 +87,11 @@ class StreamingSession:
         self._mem = None
         self._active = None
         self._frame_count = 0
+        self._prepared = None
         self._build_programs()
 
-    def _build_programs(self) -> None:
-        """(Re)build the jitted init/step/inject programs for the current
-        model config — called at construction and by ``grow``."""
+    def _make_programs(self, model: SWEM):
+        """Jitted (init, step, inject) programs for ``model``'s slot budget."""
         esh = self._esh
 
         def pre(f):  # uint8 (B,h,w,3) -> normalized f32 at in_size
@@ -100,24 +100,30 @@ class StreamingSession:
                 f = resize(f, self.in_size, "bicubic")
             return f
 
-        self._init = jax.jit(
-            lambda v, r, f, m, a: init_memory(self.model, v, r, pre(f), m, a,
+        init = jax.jit(
+            lambda v, r, f, m, a: init_memory(model, v, r, pre(f), m, a,
                                               sharding=esh)
         )
-        self._step = jax.jit(
+        stp = jax.jit(
             lambda v, mem, f, a: step(
-                self.model, v, mem, pre(f), a, self.out_size,
+                model, v, mem, pre(f), a, self.out_size,
                 do_memorize=True, sharding=esh,
             )[:2],
             donate_argnums=(1,),
         )
-        self._inject = jax.jit(
+        inject = jax.jit(
             lambda v, mem, f, a, im, inew: step(
-                self.model, v, mem, pre(f), a, self.out_size, do_memorize=True,
+                model, v, mem, pre(f), a, self.out_size, do_memorize=True,
                 inject_mask=im, inject_new=inew, sharding=esh,
             )[:2],
             donate_argnums=(1,),
         )
+        return init, stp, inject
+
+    def _build_programs(self) -> None:
+        """(Re)build the jitted init/step/inject programs for the current
+        model config — called at construction and by ``grow``."""
+        self._init, self._step, self._inject = self._make_programs(self.model)
 
     # ------------------------------------------------------------------ #
     def warmup(self) -> None:
@@ -202,6 +208,57 @@ class StreamingSession:
         self._frame_count += 1
         return np.asarray(pred)[0]
 
+    def _check_growable(self, n_slots: int) -> None:
+        if n_slots <= self.n_slots:
+            raise ValueError(
+                f"grow({n_slots}) needs more than the current {self.n_slots} "
+                "slots (shrinking would discard fitted objects)")
+        if self._esh is not None and n_slots % self._esh.n_obj:
+            raise ValueError(
+                f"n_slots={n_slots} not divisible by the mesh 'obj' axis "
+                f"({self._esh.n_obj})")
+
+    def prepare_grow(self, n_slots: int) -> None:
+        """Compile-and-warm the ``n_slots`` programs on a background thread
+        so a later ``grow(n_slots)`` swaps them in without paying the inline
+        recompile (~68 s at 480p through this box's compile tunnel; tens of
+        seconds on a production host). Call it as soon as growth becomes
+        likely — e.g. when the application knows more objects may appear.
+
+        The warmup executes each program once on zeros (the only reliable
+        way to fill the jit dispatch cache + chip-load on this stack, see
+        ``warmup``); those dummy executions interleave with live pushes on
+        the device queue, adding at most a few frame-times of jitter.
+        """
+        import threading
+
+        import dataclasses
+
+        self._check_growable(n_slots)
+        cfg = dataclasses.replace(self.cfg, max_objs=n_slots)
+        model = SWEM(cfg)
+        progs = self._make_programs(model)
+        state = {"error": None}
+
+        def work():
+            try:
+                h, w = self.raw_hw
+                f = jnp.zeros((1, h, w, 3), jnp.uint8)
+                m = jnp.zeros((1,) + self.out_size + (n_slots + 1,),
+                              jnp.float32)
+                a = jnp.zeros((1, n_slots), jnp.bool_)
+                mem = progs[0](self.variables, self._rng, f, m, a)
+                mem, pred = progs[1](self.variables, mem, f, a)
+                np.asarray(pred)
+                mem, pred = progs[2](self.variables, mem, f, a, m, a)
+                np.asarray(pred)
+            except Exception as e:  # noqa: BLE001 — surfaced at grow()
+                state["error"] = e
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._prepared = (n_slots, cfg, model, progs, t, state)
+
     def grow(self, n_slots: int, *, warmup: bool = False) -> None:
         """Raise the slot budget mid-stream (2 slots cost ~8 ms/push on a
         v5e at 480p, 8 slots ~26 ms — PARITY.md; start streams at their
@@ -217,23 +274,30 @@ class StreamingSession:
         growth alone — tested bit-identical in tests/test_serve.py.
 
         The jitted programs rebuild for the new static shapes: the next
-        push pays a compile unless ``warmup=True`` (which pays it here).
+        push pays a compile unless ``warmup=True`` (which pays it here) or
+        ``prepare_grow(n_slots)`` already compiled them in the background.
         """
         import dataclasses
 
         from swem_tpu.models import em
 
         assert self._mem is not None, "call start() first"
-        if n_slots <= self.n_slots:
-            raise ValueError(
-                f"grow({n_slots}) needs more than the current {self.n_slots} "
-                "slots (shrinking would discard fitted objects)")
-        if self._esh is not None and n_slots % self._esh.n_obj:
-            raise ValueError(
-                f"n_slots={n_slots} not divisible by the mesh 'obj' axis "
-                f"({self._esh.n_obj})")
+        self._check_growable(n_slots)
         old = self.n_slots
-        cfg = dataclasses.replace(self.cfg, max_objs=n_slots)
+        prepared = None
+        if self._prepared is not None:
+            pn, pcfg, pmodel, pprogs, pthread, pstate = self._prepared
+            self._prepared = None
+            if pn == n_slots:
+                pthread.join()  # compile may still be in flight
+                if pstate["error"] is None:
+                    prepared = (pcfg, pmodel, pprogs)
+                # else: fall through to the inline build; the background
+                # failure may have been transient (e.g. OOM next to a big
+                # in-flight program) and the inline path surfaces any
+                # persistent error to the caller directly
+        cfg = prepared[0] if prepared else dataclasses.replace(
+            self.cfg, max_objs=n_slots)
         # fresh draw for the new slots, batch-broadcast like init_memory's
         fresh = em.fresh_memory(
             jax.random.fold_in(self._rng, self._frame_count), 1, n_slots,
@@ -261,9 +325,14 @@ class StreamingSession:
         self._active = jnp.concatenate(
             [self._active, jnp.zeros((B, n_slots - old), bool)], axis=1)
         self.cfg = cfg
-        self.model = SWEM(cfg)
         self.n_slots = n_slots
-        self._build_programs()
+        if prepared:
+            self.model = prepared[1]
+            self._init, self._step, self._inject = prepared[2]
+            warmup = False  # the prepared thread already executed them
+        else:
+            self.model = SWEM(cfg)
+            self._build_programs()
         if warmup:
             h, w = self.raw_hw
             f = jnp.zeros((1, h, w, 3), jnp.uint8)

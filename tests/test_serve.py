@@ -235,6 +235,41 @@ def test_grow_under_obj_mesh(tiny):
         sess.grow(5)
 
 
+def test_prepare_grow_matches_inline_grow(tiny):
+    """prepare_grow pre-compiles on a background thread; the later grow()
+    must produce the identical stream (same programs, same memory pad —
+    bit-equal to the inline-grow path), and a mismatched prepared budget
+    falls back to the inline build."""
+    cfg, variables = tiny
+    rng = np.random.default_rng(15)
+    T, H, W = 5, 64, 96
+    frames_u8 = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+    labels = np.zeros((H, W), np.uint8)
+    labels[10:30, 20:50] = 1
+    inj = np.zeros((H, W), np.uint8)
+    inj[40:60, 60:90] = 2
+
+    import dataclasses
+    small = dataclasses.replace(cfg, max_objs=2)
+
+    def run(prepare, grow_to=4):
+        sess = StreamingSession(small, variables, raw_hw=(H, W),
+                                in_size=(H, W), out_size=(H, W), seed=0)
+        sess.start(frames_u8[0], labels)
+        if prepare is not None:
+            sess.prepare_grow(prepare)
+        sess.push(frames_u8[1])
+        sess.grow(grow_to)
+        preds = [sess.add_objects(frames_u8[2], inj, [2]),
+                 sess.push(frames_u8[3]), sess.push(frames_u8[4])]
+        return np.stack(preds)
+
+    want = run(prepare=None)
+    np.testing.assert_array_equal(run(prepare=4), want)
+    # prepared-for-8 but grown-to-4: inline fallback, same stream
+    np.testing.assert_array_equal(run(prepare=8), want)
+
+
 def test_grow_rejects_shrink(tiny):
     cfg, variables = tiny
     rng = np.random.default_rng(13)
