@@ -112,7 +112,7 @@ class OpTimer:
     """Wraps pipeline entry points with timing accumulators.
 
     Buckets are non-overlapping by construction: synthesis internals
-    (random_resize/place_object) are not separately wrapped, decode inside
+    (random_resize/sample_place) are not separately wrapped, decode inside
     synthesis does not occur (images are loaded before synthesis_frames).
     """
 
